@@ -1,0 +1,148 @@
+"""In-memory knowledge graph with the reference's iteration semantics.
+
+Mirrors the behavioural contract of the reference's rdflib wrapper
+(reference: mrgcn/data/io/knowledge_graph.py:18-228): a de-duplicated triple
+store with deterministic atom enumeration, optional per-occurrence literal
+separation (``UniqueLiteral``), property frequencies, and graph subtraction
+for target-relation stripping.
+"""
+
+from __future__ import annotations
+
+import logging
+from collections import Counter
+from typing import Iterable, Iterator, List, Optional, Set
+
+from mrgcn_tpu.data.ntriples import Triple, Term, parse_file
+from mrgcn_tpu.data.rdf import Literal, UniqueLiteral
+
+logger = logging.getLogger(__name__)
+
+
+class KnowledgeGraph:
+    """A set of triples plus convenience generators.
+
+    Construct from one or more N-Triples paths (plain or ``.gz``), an iterable
+    of triples, or nothing (empty graph).
+    """
+
+    def __init__(self, source=None):
+        self._triples: Set[Triple] = set()
+
+        if source is None:
+            pass
+        elif isinstance(source, str):
+            self._triples.update(parse_file(source))
+        elif isinstance(source, (list, tuple)) and source \
+                and isinstance(source[0], str):
+            for path in source:
+                self._triples.update(parse_file(path))
+        elif isinstance(source, KnowledgeGraph):
+            self._triples.update(source._triples)
+        else:  # iterable of triples
+            self._triples.update(source)
+
+        self._property_distribution = Counter(p for _, p, _ in self._triples)
+        logger.debug("Knowledge graph imported (%d facts)", len(self._triples))
+
+    # -- basics --------------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self._triples)
+
+    def __contains__(self, triple: Triple) -> bool:
+        return triple in self._triples
+
+    def __enter__(self) -> "KnowledgeGraph":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._triples.clear()
+
+    def add(self, triple: Triple) -> None:
+        self._triples.add(triple)
+        self._property_distribution[triple[1]] += 1
+
+    def remove_triples(self, triples: Iterable[Triple]) -> int:
+        """Subtract triples; returns the number removed.
+
+        Used by ``strip_graph`` to drop inverse-target edges and prevent label
+        leakage (reference: mrgcn/data/utils.py:64-80).
+        """
+        removed = 0
+        for t in set(triples):
+            if t in self._triples:
+                self._triples.discard(t)
+                self._property_distribution[t[1]] -= 1
+                removed += 1
+        return removed
+
+    # -- generators (reference: knowledge_graph.py:70-144) --------------
+
+    def triples(self, pattern=(None, None, None),
+                separate_literals: bool = True) -> Iterator[Triple]:
+        ps, pp, po = pattern
+        for s, p, o in self._triples:
+            if ps is not None and s != ps:
+                continue
+            if pp is not None and p != pp:
+                continue
+            if po is not None and o != po:
+                continue
+            if separate_literals and isinstance(o, Literal):
+                o = UniqueLiteral(s, p, o)
+            yield s, p, o
+
+    def atoms(self, separate_literals: bool = True) -> Iterator[Term]:
+        """Unique subjects and objects, literals optionally made per-triple
+        unique (reference: knowledge_graph.py:70-82)."""
+        seen = set()
+        for s, p, o in self._triples:
+            for atom in (s, o):
+                if separate_literals and atom is o and isinstance(o, Literal):
+                    atom = UniqueLiteral(s, p, o)
+                if atom in seen:
+                    continue
+                seen.add(atom)
+                yield atom
+
+    def non_terminal_atoms(self) -> Iterator[Term]:
+        for atom in frozenset(s for s, _, _ in self._triples):
+            yield atom
+
+    def attributes(self) -> Iterator[Literal]:
+        for _, _, o in self._triples:
+            if type(o) is Literal:
+                yield o
+
+    def entities(self, omit_blank_nodes: bool = False) -> Iterator[Term]:
+        from mrgcn_tpu.data.rdf import BNode
+        for res in self.atoms():
+            if isinstance(res, Literal) or \
+                    (omit_blank_nodes and type(res) is BNode):
+                continue
+            yield res
+
+    def properties(self) -> Iterator[Term]:
+        for _, p, _ in self._triples:
+            yield p
+
+    # -- statistics -----------------------------------------------------
+
+    def property_frequency(self, prop: Optional[Term] = None):
+        if prop is None:
+            return self._property_distribution
+        return self._property_distribution.get(prop, 0)
+
+    def attribute_frequency(self, prop: Term, limit: Optional[int] = None):
+        freq = Counter(o for _, p, o in self._triples if p == prop)
+        return freq.most_common(limit)
+
+    # -- determinism ----------------------------------------------------
+
+    @staticmethod
+    def sort_atoms(atoms: Iterable[Term]) -> List[Term]:
+        """Deterministic string-keyed sort; stable for equal keys, matching
+        the reference's quickSort pivot grouping
+        (reference: knowledge_graph.py:171-192)."""
+        return sorted(atoms, key=str)

@@ -1,0 +1,181 @@
+"""Graph-structure encoding: relation-partitioned COO adjacency.
+
+The reference builds one row-normalised CSR matrix per relation and hstacks
+them into a single ``n x (R*n)`` sparse matrix
+(reference: mrgcn/encodings/graph_structure.py:13-169). On TPU a giant sparse
+matmul against that layout wastes the MXU; instead we keep the graph as flat
+edge arrays — ``(src, dst, rel, norm)`` — where ``norm`` carries the per-
+relation in-row degree normalisation ``D^-1 A`` precomputed at build time.
+The R-GCN layer consumes these arrays with gather + segment-sum programs
+(see :mod:`mrgcn_tpu.ops.rspmm`), which XLA fuses and which shard cleanly
+over a device mesh along the edge dimension.
+
+Semantics preserved exactly:
+  * deterministic node order: atoms sorted by string form
+    (reference: graph_structure.py:16-20);
+  * relation order: properties sorted by string form; for each included
+    property the forward relation, then (optionally) its inverse; the
+    self-loop identity relation last (reference: graph_structure.py:33-38,
+    78-106);
+  * ``norm[e] = 1 / rowdegree_r(src[e])`` computed per relation
+    (reference: graph_structure.py:162-169) — the identity relation has
+    norm 1.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from mrgcn_tpu.data.kg import KnowledgeGraph
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class GraphStructure:
+    """Relation-partitioned COO adjacency with precomputed D^-1 weights.
+
+    ``num_relations`` counts forward (+ inverse) property relations plus the
+    trailing self-loop relation, i.e. it equals ``A.shape[1] / num_nodes`` of
+    the reference's hstacked matrix
+    (reference: mrgcn/tasks/node_classification.py:396).
+    """
+
+    num_nodes: int
+    num_relations: int
+    src: np.ndarray   # (E,) int32 — message destination row (triple subject)
+    dst: np.ndarray   # (E,) int32 — message source column (triple object)
+    rel: np.ndarray   # (E,) int32 — relation index in [0, num_relations)
+    norm: np.ndarray  # (E,) float32 — 1/rowdegree within the relation
+    nodes_map: Dict = field(repr=False, default_factory=dict)
+    properties_map: Dict = field(repr=False, default_factory=dict)
+
+    @property
+    def num_edges(self) -> int:
+        return int(self.src.shape[0])
+
+    def flat_col(self) -> np.ndarray:
+        """Column index into the reference's flattened ``(R*n)`` layout:
+        ``rel * num_nodes + dst``."""
+        return self.rel.astype(np.int64) * self.num_nodes + \
+            self.dst.astype(np.int64)
+
+    def to_scipy_hstack(self):
+        """Densifiable ``n x (R*n)`` CSR, for parity tests against the
+        reference layout (reference: graph_structure.py:38)."""
+        import scipy.sparse as sp
+        return sp.csr_matrix(
+            (self.norm, (self.src.astype(np.int64), self.flat_col())),
+            shape=(self.num_nodes, self.num_relations * self.num_nodes))
+
+
+def generate(kg: KnowledgeGraph, config: dict) -> Tuple[GraphStructure,
+                                                        Dict, Dict]:
+    """Build the graph structure from a knowledge graph.
+
+    Returns ``(structure, nodes_map, properties_map)`` where ``properties_map``
+    enumerates *all* properties (including excluded ones) in sorted order —
+    the reference does the same and uses it as the edge index for link
+    prediction (reference: graph_structure.py:16-17, mkdataset.py:49-57).
+    """
+    structural = config["graph"]["structural"]
+    separate_literals = structural["separate_literals"]
+    include_inverse = structural["include_inverse_properties"]
+    exclude_properties = set(structural.get("exclude_properties", []))
+
+    properties = sorted(set(kg.properties()), key=str)
+    properties_map = {p: i for i, p in enumerate(properties)}
+
+    atoms = KnowledgeGraph.sort_atoms(kg.atoms(separate_literals))
+    nodes_map = {node: i for i, node in enumerate(atoms)}
+    num_nodes = len(nodes_map)
+
+    included = [p for p in properties if str(p) not in exclude_properties
+                and p not in exclude_properties]
+    rel_stride = 2 if include_inverse else 1
+    num_relations = len(included) * rel_stride + 1  # + self-loop identity
+
+    logger.debug("Generating %d relation partitions over %d nodes",
+                 num_relations, num_nodes)
+
+    # Gather edges per included property, in sorted-property order.
+    src_parts: List[np.ndarray] = []
+    dst_parts: List[np.ndarray] = []
+    rel_parts: List[np.ndarray] = []
+    for k, prop in enumerate(included):
+        pairs = [(nodes_map[s], nodes_map[o])
+                 for s, _, o in kg.triples((None, prop, None),
+                                           separate_literals)]
+        if not pairs:
+            continue
+        rows = np.fromiter((r for r, _ in pairs), dtype=np.int32,
+                           count=len(pairs))
+        cols = np.fromiter((c for _, c in pairs), dtype=np.int32,
+                           count=len(pairs))
+
+        src_parts.append(rows)
+        dst_parts.append(cols)
+        rel_parts.append(np.full(rows.shape, k * rel_stride, dtype=np.int32))
+        if include_inverse:
+            src_parts.append(cols)
+            dst_parts.append(rows)
+            rel_parts.append(np.full(rows.shape, k * rel_stride + 1,
+                                     dtype=np.int32))
+
+    # Self-loop identity relation, normalised weight 1
+    # (reference: graph_structure.py:33-35).
+    loop = np.arange(num_nodes, dtype=np.int32)
+    src_parts.append(loop)
+    dst_parts.append(loop)
+    rel_parts.append(np.full(num_nodes, num_relations - 1, dtype=np.int32))
+
+    src = np.concatenate(src_parts)
+    dst = np.concatenate(dst_parts)
+    rel = np.concatenate(rel_parts)
+    norm = compute_norm(src, rel, num_nodes, num_relations)
+
+    structure = GraphStructure(num_nodes=num_nodes,
+                               num_relations=num_relations,
+                               src=src, dst=dst, rel=rel, norm=norm,
+                               nodes_map=nodes_map,
+                               properties_map=properties_map)
+    return structure, nodes_map, properties_map
+
+
+def compute_norm(src: np.ndarray, rel: np.ndarray, num_nodes: int,
+                 num_relations: int) -> np.ndarray:
+    """Per-relation row normalisation ``1 / rowdegree``
+    (reference: graph_structure.py:162-169)."""
+    key = rel.astype(np.int64) * num_nodes + src.astype(np.int64)
+    degree = np.bincount(key, minlength=num_relations * num_nodes)
+    return (1.0 / degree[key]).astype(np.float32)
+
+
+def pad_edges(structure: GraphStructure,
+              multiple: int = 1024) -> GraphStructure:
+    """Pad edge arrays to a multiple so recompilation is avoided across
+    datasets of similar size. Padding edges carry ``norm == 0`` and target
+    node 0, contributing nothing to the aggregation."""
+    E = structure.num_edges
+    target = ((E + multiple - 1) // multiple) * multiple
+    if target == E:
+        return structure
+    pad = target - E
+
+    def _pad(a: np.ndarray, value=0):
+        return np.concatenate(
+            [a, np.full(pad, value, dtype=a.dtype)])
+
+    return GraphStructure(
+        num_nodes=structure.num_nodes,
+        num_relations=structure.num_relations,
+        src=_pad(structure.src),
+        dst=_pad(structure.dst),
+        rel=_pad(structure.rel),
+        norm=_pad(structure.norm, 0.0),
+        nodes_map=structure.nodes_map,
+        properties_map=structure.properties_map)

@@ -1,0 +1,66 @@
+import os
+
+import pytest
+
+from mrgcn_tpu.data.ntriples import parse_line, parse_file, NTriplesError
+from mrgcn_tpu.data.rdf import IRI, BNode, Literal
+
+
+def test_iri_triple():
+    s, p, o = parse_line("<http://a> <http://b> <http://c> .")
+    assert isinstance(s, IRI) and s == "http://a"
+    assert isinstance(p, IRI) and p == "http://b"
+    assert isinstance(o, IRI) and o == "http://c"
+
+
+def test_bnode_subject_object():
+    s, p, o = parse_line("_:b1 <http://p> _:b2 .")
+    assert isinstance(s, BNode) and s == "b1"
+    assert isinstance(o, BNode) and o == "b2"
+
+
+def test_plain_literal():
+    _, _, o = parse_line('<http://a> <http://p> "hello world" .')
+    assert isinstance(o, Literal)
+    assert str(o) == "hello world"
+    assert o.language is None and o.datatype is None
+
+
+def test_language_literal():
+    _, _, o = parse_line('<http://a> <http://p> "bonjour"@fr .')
+    assert o.language == "fr"
+
+
+def test_datatyped_literal():
+    _, _, o = parse_line(
+        '<http://a> <http://p> "42"^^<http://www.w3.org/2001/XMLSchema#int> .')
+    assert o.datatype == "http://www.w3.org/2001/XMLSchema#int"
+    assert str(o) == "42"
+
+
+def test_escapes():
+    _, _, o = parse_line(r'<http://a> <http://p> "tab\there\nnl é" .')
+    assert str(o) == "tab\there\nnl é"
+
+
+def test_quote_escape_in_literal():
+    _, _, o = parse_line(r'<http://a> <http://p> "say \"hi\"" .')
+    assert str(o) == 'say "hi"'
+
+
+def test_malformed_raises():
+    with pytest.raises(NTriplesError):
+        parse_line("<http://a> <http://b>")
+
+
+REF_NT = "/root/reference/tests/tasks/classification/context.nt.gz"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_NT),
+                    reason="reference test data unavailable")
+def test_parse_reference_dataset():
+    triples = list(parse_file(REF_NT, strict=True))
+    assert len(triples) > 1000
+    # every triple term is well-formed
+    for s, p, o in triples[:100]:
+        assert isinstance(p, IRI)

@@ -1,0 +1,239 @@
+"""Modality encoders: MLP, temporal CNN, text encoder, image CNN.
+
+Functional re-designs of the reference encoder wrappers
+(reference: mrgcn/models/{perceptron,temporal_cnn,transformer,imagecnn}.py).
+The reference v3.0 wraps *frozen pretrained* DistilBERT / MobileNetV2 from
+torch.hub; in an offline TPU environment pretrained weights are unavailable,
+so the sequence/image encoders here are compact trainable networks — the
+v2.0 paper-parity design — exposing the same head structure
+(pre_fc -> ReLU -> dropout -> fc) so pretrained backbones can be slotted in
+when locally cached.
+
+All modules are flax.linen, NHWC/NLC layouts (TPU-native), and statically
+shaped.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mrgcn_tpu.models import init as tinit
+
+# TCNN input-length classes (reference: temporal_cnn.py:7-9; note size M
+# uses LENGTH_L as its minimal input length, reference: temporal_cnn.py:57)
+TCNN_LENGTH_S = 20
+TCNN_LENGTH_M = 100
+TCNN_LENGTH_L = 300
+TCNN_MINIMAL_LENGTH = {"S": TCNN_LENGTH_S, "M": TCNN_LENGTH_L,
+                       "L": TCNN_LENGTH_L}
+
+
+class MLP(nn.Module):
+    """N-layer perceptron with linearly interpolated widths; every layer is
+    Dense -> Dropout -> ReLU (incl. the last), params init U(0, 1)
+    (reference: perceptron.py:6-46)."""
+
+    output_dim: int
+    num_layers: int = 1
+    p_dropout: float = 0.0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        input_dim = x.shape[-1]
+        step = (input_dim - self.output_dim) // self.num_layers
+        hidden = [self.output_dim + i * step
+                  for i in reversed(range(self.num_layers))]
+        for width in hidden:
+            x = nn.Dense(width, use_bias=self.use_bias,
+                         kernel_init=tinit.unit_uniform(),
+                         bias_init=tinit.unit_uniform())(x)
+            x = nn.Dropout(self.p_dropout, deterministic=not train)(x)
+            x = nn.relu(x)
+        return x
+
+
+def adaptive_max_pool1d(x: jnp.ndarray, output_size: int) -> jnp.ndarray:
+    """torch ``AdaptiveMaxPool1d`` over the length axis of (N, L, C):
+    window i spans [floor(i*L/k), ceil((i+1)*L/k))."""
+    L = x.shape[1]
+    cols = []
+    for i in range(output_size):
+        lo = (i * L) // output_size
+        hi = -(-((i + 1) * L) // output_size)
+        cols.append(jnp.max(x[:, lo:hi, :], axis=1))
+    return jnp.stack(cols, axis=1)  # (N, k, C)
+
+
+class _ConvBNRelu(nn.Module):
+    features: int
+    kernel: int
+    padding: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Conv(self.features, (self.kernel,),
+                    padding=[(self.padding, self.padding)],
+                    kernel_init=tinit.torch_linear_kernel(),
+                    bias_init=nn.initializers.zeros)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        return nn.relu(x)
+
+
+def _max_pool1d(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    return nn.max_pool(x, window_shape=(k,), strides=(k,))
+
+
+# channel plans per size (reference: temporal_cnn.py:24-139)
+_TCNN_PLANS = {
+    # (list of stages; each stage = list of (features, kernel, padding),
+    #  followed by pool spec: ("max", k) | ("adaptive", k) | None)
+    "S": ([([(64, 3, 1), (64, 3, 1)], ("max", 2)),
+           ([(128, 3, 1), (128, 3, 1)], ("max", 2)),
+           ([(256, 3, 1), (256, 3, 1)], ("adaptive", 2)),
+           ([(512, 2, 0)], None)], 512),
+    "M": ([([(64, 7, 3), (64, 7, 3)], ("max", 3)),
+           ([(128, 3, 1), (128, 3, 1)], ("max", 3)),
+           ([(256, 3, 1), (256, 3, 1)], ("adaptive", 3)),
+           ([(512, 3, 1), (512, 3, 1), (1024, 3, 0)], None)], 1024),
+    "L": ([([(64, 7, 3), (64, 7, 3)], ("max", 3)),
+           ([(128, 7, 3), (128, 7, 3)], ("max", 3)),
+           ([(256, 3, 1), (256, 3, 1)], ("max", 3)),
+           ([(512, 3, 1), (512, 3, 1)], ("adaptive", 3)),
+           ([(1024, 3, 1), (1024, 3, 1), (2048, 3, 0)], None)], 2048),
+}
+
+
+class TCNN(nn.Module):
+    """Temporal CNN over (N, L, C) sequences in S/M/L capacities
+    (reference: temporal_cnn.py:6-156). Used for WKT geometries and, in the
+    from-scratch text path, for byte sequences."""
+
+    output_dim: int
+    size: str = "M"
+    p_dropout: float = 0.0
+
+    @property
+    def minimal_length(self) -> int:
+        return TCNN_MINIMAL_LENGTH[self.size]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        stages, cnn_out = _TCNN_PLANS[self.size]
+        for convs, pool in stages:
+            for features, kernel, padding in convs:
+                x = _ConvBNRelu(features, kernel, padding)(x, train)
+            if pool is not None:
+                kind, k = pool
+                x = _max_pool1d(x, k) if kind == "max" \
+                    else adaptive_max_pool1d(x, k)
+        x = x.reshape(x.shape[0], -1)  # flatten (N, L', C') -> (N, L'*C')
+        x = nn.Dense(cnn_out, kernel_init=tinit.torch_linear_kernel(),
+                     bias_init=tinit.torch_linear_bias(x.shape[-1]))(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.p_dropout, deterministic=not train)(x)
+        return nn.Dense(self.output_dim,
+                        kernel_init=tinit.torch_linear_kernel(),
+                        bias_init=tinit.torch_linear_bias(cnn_out))(x)
+
+
+class TextEncoder(nn.Module):
+    """Trainable sequence encoder with CLS pooling and the reference's head
+    structure (pre_fc -> ReLU -> dropout -> fc,
+    reference: transformer.py:21-38).
+
+    A compact transformer encoder stands in for the frozen pretrained LM of
+    the v3.0 reference; the v2.0 paper design likewise trained its own
+    sequence encoder from scratch.
+    """
+
+    output_dim: int
+    vocab_size: int = 259           # byte tokenizer default
+    model_dim: int = 128
+    num_heads: int = 4
+    num_layers: int = 2
+    p_dropout: float = 0.2
+    max_len: int = 512
+    pad_id: int = 256
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray, train: bool = False
+                 ) -> jnp.ndarray:
+        # tokens: (N, L) int32
+        mask = (tokens != self.pad_id)
+        x = nn.Embed(self.vocab_size, self.model_dim)(tokens)
+        pos = self.param("pos_embedding",
+                         nn.initializers.normal(stddev=0.02),
+                         (self.max_len, self.model_dim))
+        x = x + pos[:tokens.shape[1]][None, :, :]
+
+        attn_mask = nn.make_attention_mask(mask, mask)
+        for _ in range(self.num_layers):
+            y = nn.LayerNorm()(x)
+            y = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads, qkv_features=self.model_dim,
+                deterministic=not train)(y, y, mask=attn_mask)
+            x = x + y
+            y = nn.LayerNorm()(x)
+            y = nn.Dense(4 * self.model_dim)(y)
+            y = nn.gelu(y)
+            y = nn.Dense(self.model_dim)(y)
+            x = x + y
+        x = nn.LayerNorm()(x)
+
+        pooled = x[:, 0]  # CLS pooling (reference: transformer.py:30-31)
+        pooled = nn.Dense(self.model_dim,
+                          kernel_init=tinit.torch_linear_kernel())(pooled)
+        pooled = nn.relu(pooled)
+        pooled = nn.Dropout(self.p_dropout, deterministic=not train)(pooled)
+        return nn.Dense(self.output_dim,
+                        kernel_init=tinit.torch_linear_kernel())(pooled)
+
+
+class _SeparableBlock(nn.Module):
+    features: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        in_feat = x.shape[-1]
+        x = nn.Conv(in_feat, (3, 3), strides=(self.stride, self.stride),
+                    padding="SAME", feature_group_count=in_feat,
+                    use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.features, (1, 1), use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        return nn.relu(x)
+
+
+class ImageCNN(nn.Module):
+    """Compact depthwise-separable image CNN with global average pooling and
+    the reference's head (reference: imagecnn.py:9-41). Input (N, H, W, C)
+    float32 (already normalised)."""
+
+    output_dim: int
+    p_dropout: float = 0.2
+    width: int = 32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        w = self.width
+        x = nn.Conv(w, (3, 3), strides=(2, 2), padding="SAME",
+                    use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.relu(x)
+        for features, stride in ((w * 2, 2), (w * 2, 1), (w * 4, 2),
+                                 (w * 4, 1), (w * 8, 2), (w * 8, 1),
+                                 (w * 16, 2)):
+            x = _SeparableBlock(features, stride)(x, train)
+        x = jnp.mean(x, axis=(1, 2))  # global average pool
+        inter = x.shape[-1]
+        x = nn.Dense(inter, kernel_init=tinit.torch_linear_kernel())(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.p_dropout, deterministic=not train)(x)
+        return nn.Dense(self.output_dim,
+                        kernel_init=tinit.torch_linear_kernel())(x)

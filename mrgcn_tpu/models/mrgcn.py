@@ -1,0 +1,202 @@
+"""MR-GCN: multimodal encoders fused with the R-GCN, one XLA program.
+
+TPU re-design of reference: mrgcn/models/mrgcn.py:25-305. The reference
+scatters per-modality computations across CPU/GPU devices by hand; here every
+modality encoder, the gated fusion, and the graph convolutions trace into a
+single jitted program — XLA fuses the scatter of encoder outputs into the
+feature matrix with the first graph convolution's gather.
+
+Module naming matches the reference (``xsd_numeric_0``, ...) so optimizer
+parameter groups can key off the same datatype prefixes
+(reference: mrgcn/tasks/utils.py:33-43).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mrgcn_tpu.models.encoders import MLP, TCNN, ImageCNN, TextEncoder
+from mrgcn_tpu.models.rgcn import RGCN, EdgeBlock
+
+# datatypes handled per encoder family (reference: mrgcn.py:63-124)
+_MLP1 = ("xsd.boolean", "xsd.numeric")
+_MLP2 = ("xsd.date", "xsd.dateTime", "xsd.gYear")
+_TEXT = ("xsd.string", "xsd.anyURI")
+
+
+def module_names(modules_config) -> Tuple[str, ...]:
+    """Stable encoder instance names, one per encoding set, with per-family
+    counters (reference: mrgcn.py:56-134)."""
+    counters = {"num": 0, "temp": 0, "llm": 0, "img": 0, "geo": 0}
+    names = []
+    for datatype, _ in modules_config:
+        if datatype in _MLP1:
+            key = "num"
+        elif datatype in _MLP2:
+            key = "temp"
+        elif datatype in _TEXT:
+            key = "llm"
+        elif datatype == "blob.image":
+            key = "img"
+        elif datatype == "ogc.wktLiteral":
+            key = "geo"
+        else:
+            raise ValueError(f"Datatype not supported: {datatype}")
+        names.append(f"{datatype.replace('.', '_')}_{counters[key]}")
+        counters[key] += 1
+    return tuple(names)
+
+
+def modality_output_dim(modules_config) -> int:
+    dims = []
+    for datatype, args in modules_config:
+        if datatype in _MLP1 + _MLP2:
+            dims.append(args[1])
+        elif datatype in _TEXT:
+            dims.append(args[1])
+        elif datatype == "ogc.wktLiteral":
+            dims.append(args[1])
+        elif datatype == "blob.image":
+            dims.append(args[2])
+    return sum(dims)
+
+
+class MRGCN(nn.Module):
+    """Gated multimodal encoders + R-GCN.
+
+    ``modules_config`` is a static tuple of ``(datatype, args)`` mirroring
+    the reference contract (reference: graph_features.py:182-238):
+
+      * boolean/numeric/temporal: ``(feature_size, embedding_dim, dropout)``
+      * string/anyURI:            ``(model_config, embedding_dim, dropout)``
+      * wktLiteral:               ``(feature_size, embedding_dim, size, dropout)``
+      * image:                    ``(model_config, transform_config,
+                                     embedding_dim, dropout)``
+
+    The forward takes ``features``: a dict keyed by encoder instance name of
+    ``(data, node_idx)`` arrays — data is raw (uint8 images, int32 tokens,
+    float32 otherwise); casting/normalisation happens inside the program
+    (reference defers image normalisation too, mrgcn.py:286-292).
+    """
+
+    hidden_dims: Tuple[int, ...]
+    modules_config: Tuple
+    num_relations: int
+    num_nodes: int
+    num_bases: int = 0
+    p_dropout: float = 0.0
+    featureless: bool = False
+    use_bias: bool = False
+    link_prediction: bool = False
+    gated: bool = True
+    text_vocab_size: int = 259
+    text_pad_id: int = 256
+
+    def setup(self):
+        encoders = {}
+        dims = {}
+        for name, (datatype, args) in zip(module_names(self.modules_config),
+                                          self.modules_config):
+            if datatype in _MLP1:
+                _, dim_out, dropout = args
+                encoders[name] = MLP(output_dim=dim_out, num_layers=1,
+                                     p_dropout=dropout, name=name)
+            elif datatype in _MLP2:
+                _, dim_out, dropout = args
+                encoders[name] = MLP(output_dim=dim_out, num_layers=2,
+                                     p_dropout=dropout, name=name)
+            elif datatype in _TEXT:
+                _, dim_out, dropout = args
+                encoders[name] = TextEncoder(
+                    output_dim=dim_out, p_dropout=dropout,
+                    vocab_size=self.text_vocab_size,
+                    pad_id=self.text_pad_id, name=name)
+            elif datatype == "ogc.wktLiteral":
+                _, dim_out, size, dropout = args
+                encoders[name] = TCNN(output_dim=dim_out, size=size,
+                                      p_dropout=dropout, name=name)
+            elif datatype == "blob.image":
+                model_cfg, transform_cfg, dim_out, dropout = args
+                encoders[name] = ImageCNN(output_dim=dim_out,
+                                          p_dropout=dropout, name=name)
+            dims[name] = dim_out
+        self.encoders = encoders
+        self.encoder_dims = dims
+        self.modality_dim = sum(dims.values())
+
+        num_gates = len(self.modules_config)
+        if self.gated and num_gates > 0:
+            # gates start at 0.1, heavily damping every encoder's signal
+            # (reference: mrgcn.py:150-156)
+            self.gate_weights = self.param(
+                "gate_weights",
+                lambda key, shape: jnp.full(shape, 0.1, dtype=jnp.float32),
+                (num_gates,))
+        else:
+            self.gate_weights = jnp.ones(num_gates, dtype=jnp.float32)
+
+        self.rgcn = RGCN(hidden_dims=self.hidden_dims,
+                         num_relations=self.num_relations,
+                         num_nodes=self.num_nodes,
+                         num_bases=self.num_bases,
+                         p_dropout=self.p_dropout,
+                         featureless=self.featureless,
+                         use_bias=self.use_bias,
+                         link_prediction=self.link_prediction,
+                         name="rgcn")
+
+    def _prepare(self, datatype: str, args, data: jnp.ndarray) -> jnp.ndarray:
+        """Per-modality casting (reference: mrgcn.py:286-292)."""
+        if datatype in _TEXT:
+            return data.astype(jnp.int32)
+        if datatype == "blob.image":
+            _, transform_cfg, _, _ = args
+            mean = jnp.asarray(transform_cfg.get("mean", (0.5, 0.5, 0.5)),
+                               dtype=jnp.float32) * 255.0
+            std = jnp.asarray(transform_cfg.get("std", (0.25, 0.25, 0.25)),
+                              dtype=jnp.float32) * 255.0
+            x = data.astype(jnp.float32)
+            x = (x - mean[None, :, None, None]) / std[None, :, None, None]
+            return jnp.transpose(x, (0, 2, 3, 1))  # NCHW -> NHWC
+        if datatype == "ogc.wktLiteral":
+            return jnp.transpose(data.astype(jnp.float32), (0, 2, 1))
+        return data.astype(jnp.float32)
+
+    def compute_modality_embeddings(self, features: Dict, num_rows: int,
+                                    train: bool = False) -> jnp.ndarray:
+        """Encode every modality and scatter the gated outputs into a dense
+        (num_rows, modality_dim) matrix (reference: mrgcn.py:250-305)."""
+        X = jnp.zeros((num_rows, self.modality_dim), dtype=jnp.float32)
+        offset = 0
+        names = module_names(self.modules_config)
+        for i, (name, (datatype, args)) in enumerate(
+                zip(names, self.modules_config)):
+            dim = self.encoder_dims[name]
+            entry = features.get(name)
+            if entry is None or entry[0].shape[0] == 0:
+                offset += dim
+                continue
+            data, node_idx = entry
+            out = self.encoders[name](self._prepare(datatype, args, data),
+                                      train=train)
+            out = out * self.gate_weights[i]
+            X = X.at[node_idx, offset:offset + dim].set(out)
+            offset += dim
+        return X
+
+    def __call__(self, features: Optional[Dict], edges: EdgeBlock,
+                 train: bool = False) -> jnp.ndarray:
+        X = None
+        if not self.featureless:
+            num_rows = edges.num_in if edges.num_in is not None \
+                else self.num_nodes
+            X = self.compute_modality_embeddings(features or {}, num_rows,
+                                                 train)
+        return self.rgcn(X, edges, train=train)
+
+    @property
+    def relations(self):
+        return self.rgcn.relations

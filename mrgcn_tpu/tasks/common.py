@@ -1,0 +1,125 @@
+"""Shared run-time assembly: artifact -> static model inputs.
+
+Bridges the dataset artifact and the jitted model: runs the reference's
+``setup_features`` pipeline (merge/noise/outliers → module configs), pads
+ragged sets to static shapes once, and builds the edge block + per-encoder
+feature arrays the MRGCN consumes.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from mrgcn_tpu.data.artifact import Artifact
+from mrgcn_tpu.encodings.features import (densify, getDatatypeConfig,
+                                          isDatatypeIncluded, setup_features)
+from mrgcn_tpu.encodings.xsd.string import ByteTokenizer, pad_symbol_for
+from mrgcn_tpu.models.encoders import TCNN_MINIMAL_LENGTH
+from mrgcn_tpu.models.mrgcn import module_names
+from mrgcn_tpu.models.rgcn import EdgeBlock
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class RunInputs:
+    edges: EdgeBlock
+    features: Dict[str, Tuple]           # encoder name -> (data, node_idx)
+    modules_config: Tuple                 # static, sorted by datatype
+    optimizer_config: Dict
+    X_width: int
+    featureless: bool
+    text_vocab_size: int = 259
+    text_pad_id: int = 256
+    num_nodes: int = 0
+    num_relations: int = 0
+
+
+def prepare_inputs(artifact: Artifact, config: Dict,
+                   featureless: bool) -> RunInputs:
+    structure = artifact.structure
+    n = structure.num_nodes
+
+    X, X_width, modules_config, optimizer_config = setup_features(
+        artifact.F, n, featureless, config)
+    if X_width <= 0:
+        featureless = True
+
+    # stable datatype order so encoder instance ids match across runs
+    # (reference: run.py:77-78)
+    modules_config = sorted(modules_config, key=lambda t: t[0])
+
+    # pad symbols for token sequences (reference:
+    # node_classification.py:61-70)
+    pad_symbols: Dict[str, int] = {}
+    text_pad_id, text_vocab = ByteTokenizer.PAD, ByteTokenizer.VOCAB_SIZE
+    for datatype in ("xsd.string", "xsd.anyURI"):
+        if isDatatypeIncluded(config, datatype):
+            feature_config = getDatatypeConfig(config, datatype) or {}
+            pad_symbols[datatype] = pad_symbol_for(feature_config)
+            text_pad_id = pad_symbols[datatype]
+
+    # minimum padded lengths so every conv stack fits its input
+    min_lengths = {"ogc.wktLiteral": 1}
+    for datatype, args in modules_config:
+        if datatype == "ogc.wktLiteral":
+            size = args[2]
+            min_lengths["ogc.wktLiteral"] = max(
+                min_lengths["ogc.wktLiteral"], TCNN_MINIMAL_LENGTH[size])
+
+    X = densify(X, pad_symbols=pad_symbols, min_lengths=min_lengths)
+
+    # flatten encoding sets in (sorted-datatype, set) order — the same order
+    # modules_config was emitted in — and key them by encoder instance name
+    flat_sets: List = []
+    for datatype, sets in sorted(X[1:], key=lambda e: e[0]):
+        for s in sets:
+            flat_sets.append((datatype, s))
+    names = module_names(tuple(modules_config))
+    assert len(flat_sets) == len(names), \
+        f"{len(flat_sets)} encoding sets vs {len(names)} modules"
+
+    features: Dict[str, Tuple] = {}
+    for name, (datatype, (enc, node_idx, _)) in zip(names, flat_sets):
+        if len(enc) == 0:
+            continue
+        data = jnp.asarray(enc)
+        if datatype in ("xsd.string", "xsd.anyURI"):
+            text_vocab = max(text_vocab, int(np.max(enc)) + 1)
+        features[name] = (data, jnp.asarray(np.asarray(node_idx),
+                                            dtype=jnp.int32))
+
+    edges = EdgeBlock(src=jnp.asarray(structure.src),
+                      dst=jnp.asarray(structure.dst),
+                      rel=jnp.asarray(structure.rel),
+                      norm=jnp.asarray(structure.norm),
+                      num_out=n)
+
+    return RunInputs(edges=edges, features=features,
+                     modules_config=tuple(modules_config),
+                     optimizer_config=optimizer_config,
+                     X_width=X_width, featureless=featureless,
+                     text_vocab_size=text_vocab, text_pad_id=text_pad_id,
+                     num_nodes=n, num_relations=structure.num_relations)
+
+
+def hidden_dims_from_config(config: Dict, output_dim: Optional[int]
+                            ) -> Tuple[int, ...]:
+    """Layer widths from ``[[model.layers]]``; the output layer's width is
+    the class count for NC (reference: node_classification.py:398-419) and
+    the last configured hidden size for LP
+    (reference: link_prediction.py:449-464)."""
+    layers = config["model"]["layers"]
+    if output_dim is not None:  # node classification
+        dims = [layer["hidden_nodes"] for layer in layers[:-1]]
+        dims.append(output_dim)
+    else:  # link prediction: the final config entry is not a layer
+        dims = [layer["hidden_nodes"] for layer in layers[:-1]]
+        if not dims:
+            dims = [layers[0]["hidden_nodes"]]
+    return tuple(dims)

@@ -1,0 +1,239 @@
+"""Node classification: dataset build + jitted training/eval drivers.
+
+Counterpart of reference: mrgcn/tasks/node_classification.py, with the
+training epoch compiled to a single XLA program (forward, CE loss, L1/L2
+penalties, global-norm clip, Adam update).
+
+Evaluation parity notes:
+  * in test mode the train and validation label sets merge
+    (reference: node_classification.py:117-124);
+  * loss/accuracy are averaged *per batch* then over batches — identical to
+    global means in full-batch mode (reference: node_classification.py:300-301);
+  * early stopping tracks validation loss with the reference's
+    patience/tolerance/10-epoch delay (reference: tasks/utils.py:47-90).
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from time import time
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mrgcn_tpu.data.artifact import Artifact
+from mrgcn_tpu.encodings.features import construct_features
+from mrgcn_tpu.models.mrgcn import MRGCN
+from mrgcn_tpu.tasks import utils as tutils
+from mrgcn_tpu.tasks.common import (RunInputs, hidden_dims_from_config,
+                                    prepare_inputs)
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# dataset build (mkdataset stage; reference: node_classification.py:312-383)
+# ---------------------------------------------------------------------------
+
+def build_dataset(kg, nodes_map, target_triples: Dict, config: Dict,
+                  featureless: bool):
+    """Returns ``(F, Y, sample_map, class_map)`` where ``Y[split]`` is an
+    ``(m, 2)`` int32 array of (node index, class index) rows."""
+    Y, sample_map, class_map = mk_target_matrices(target_triples, nodes_map)
+    if featureless:
+        F = {}
+    else:
+        separate_literals = config["graph"]["structural"]["separate_literals"]
+        F = construct_features(nodes_map, kg, config["graph"]["features"],
+                               separate_literals)
+    return F, Y, sample_map, class_map
+
+
+def mk_target_matrices(target_triples: Dict, nodes_map: Dict):
+    """Class labels from target triples; classes sorted for run-to-run
+    stability (reference: node_classification.py:353-383)."""
+    classes = {str(o) for split in target_triples.values()
+               for _, _, o in split}
+    class_map = sorted(classes)
+    class_idx = {label: i for i, label in enumerate(class_map)}
+
+    Y: Dict[str, np.ndarray] = {}
+    sample_map: Dict[str, List[str]] = {}
+    for split, triples in target_triples.items():
+        ordered = sorted(triples, key=lambda t: (str(t[0]), str(t[1]),
+                                                 str(t[2])))
+        rows = [(nodes_map[s], class_idx[str(o)]) for s, _, o in ordered]
+        Y[split] = np.asarray(rows, dtype=np.int32).reshape(-1, 2)
+        sample_map[split] = [str(s) for s, _, _ in ordered]
+        logger.debug("Found %d instances (%s)", len(rows), split)
+    return Y, sample_map, class_map
+
+
+# ---------------------------------------------------------------------------
+# training driver (run stage)
+# ---------------------------------------------------------------------------
+
+def build_model(inputs: RunInputs, config: Dict, num_classes: int) -> MRGCN:
+    hidden_dims = hidden_dims_from_config(config, num_classes)
+    return MRGCN(hidden_dims=hidden_dims,
+                 modules_config=inputs.modules_config,
+                 num_relations=inputs.num_relations,
+                 num_nodes=inputs.num_nodes,
+                 num_bases=config["model"]["num_bases"],
+                 p_dropout=config["model"]["p_dropout"],
+                 featureless=inputs.featureless,
+                 use_bias=config["model"]["bias"],
+                 text_vocab_size=inputs.text_vocab_size,
+                 text_pad_id=inputs.text_pad_id)
+
+
+def _loss_and_metrics(logits, label_rows):
+    idx, targets = label_rows[:, 0], label_rows[:, 1]
+    picked = logits[idx]
+    loss = optax.softmax_cross_entropy_with_integer_labels(
+        picked, targets).mean()
+    labels = jnp.argmax(picked, axis=1)
+    acc = jnp.mean((labels == targets).astype(jnp.float32))
+    return loss, acc, labels, targets
+
+
+def make_steps(model: MRGCN, optimizer, inputs: RunInputs, config: Dict):
+    l1 = config["model"]["l1_lambda"]
+    l2 = config["model"]["l2_lambda"]
+    edges, features = inputs.edges, inputs.features
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, label_rows, rng):
+        def loss_fn(p):
+            out, updates = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                features, edges, train=True,
+                rngs={"dropout": rng}, mutable=["batch_stats"])
+            loss, acc, _, _ = _loss_and_metrics(out, label_rows)
+            loss = loss + tutils.regularization(p, l1, l2)
+            return loss, (acc, updates.get("batch_stats", batch_stats))
+
+        (loss, (acc, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, loss, acc
+
+    @jax.jit
+    def eval_step(params, batch_stats, label_rows):
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          features, edges, train=False)
+        return _loss_and_metrics(out, label_rows)
+
+    return train_step, eval_step
+
+
+def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
+        test_split: str, checkpoint: Optional[str], seed: int):
+    """Full training + final evaluation; yields nothing, returns the result
+    tuple mirroring the reference driver
+    (reference: node_classification.py:25-110)."""
+    tsv_writer.writerow(["epoch", "training_loss", "training_accurary",
+                         "validation_loss", "validation_accuracy",
+                         "test_loss", "test_accuracy"])
+
+    inputs = prepare_inputs(artifact, config, featureless)
+    featureless = inputs.featureless
+
+    Y = {k: np.asarray(v).reshape(-1, 2) for k, v in artifact.Y.items()}
+    num_classes = len(artifact.class_map)
+
+    Y_train, Y_valid = Y["train"], Y.get("valid")
+    if test_split == "test" and Y_valid is not None:
+        # merge train and validation labels when testing
+        # (reference: node_classification.py:117-124)
+        Y_train = np.concatenate([Y_train, Y_valid], axis=0)
+        Y_valid = None
+
+    model = build_model(inputs, config, num_classes)
+
+    rng = jax.random.PRNGKey(seed)
+    rng, init_rng = jax.random.split(rng)
+    variables = model.init(init_rng, inputs.features, inputs.edges)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    optimizer = tutils.build_optimizer(params, config,
+                                       inputs.optimizer_config, featureless)
+    opt_state = optimizer.init(params)
+
+    epoch = 0
+    if checkpoint is not None:
+        print("[LOAD] Loading model state", end="")
+        state = tutils.load_checkpoint(checkpoint)
+        params = jax.tree.map(jnp.asarray, state["params"])
+        opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
+        batch_stats = jax.tree.map(jnp.asarray, state["batch_stats"])
+        epoch = state["epoch"]
+        print(f" - {epoch} epoch")
+
+    train_step, eval_step = make_steps(model, optimizer, inputs, config)
+
+    nepoch = config["model"]["epoch"]
+    patience = config["task"]["early_stopping"]["patience"]
+    tolerance = config["task"]["early_stopping"]["tolerance"]
+    early_stop = tutils.EarlyStop(patience, tolerance) \
+        if patience > 0 else None
+
+    label_rows_train = jnp.asarray(Y_train)
+    label_rows_valid = jnp.asarray(Y_valid) if Y_valid is not None else None
+
+    logger.info("Training for %d epoch", nepoch)
+    t0 = time()
+    final_epoch = epoch
+    for ep in range(epoch + 1, nepoch + epoch + 1):
+        if early_stop is not None and early_stop.stop:
+            logger.info("Stopping early after %d epoch", ep - 1)
+            if early_stop.best_state is not None:
+                params, opt_state, batch_stats = jax.tree.map(
+                    jnp.asarray, early_stop.best_state)
+            break
+        final_epoch = ep
+
+        rng, step_rng = jax.random.split(rng)
+        params, batch_stats, opt_state, loss, acc = train_step(
+            params, batch_stats, opt_state, label_rows_train, step_rng)
+        train_loss, train_acc = float(loss), float(acc)
+
+        val_loss, val_acc = -1.0, -1.0
+        if label_rows_valid is not None:
+            v_loss, v_acc, _, _ = eval_step(params, batch_stats,
+                                            label_rows_valid)
+            val_loss, val_acc = float(v_loss), float(v_acc)
+            logger.info("%04d | train loss %.4f / acc %.4f "
+                        "| val loss %.4f / acc %.4f",
+                        ep, train_loss, train_acc, val_loss, val_acc)
+            if early_stop is not None:
+                early_stop.record(val_loss,
+                                  (params, opt_state, batch_stats))
+        else:
+            logger.info("%04d | train loss %.4f / acc %.4f",
+                        ep, train_loss, train_acc)
+
+        tsv_writer.writerow([str(ep), str(train_loss), str(train_acc),
+                             str(val_loss), str(val_acc), "-1", "-1"])
+
+    logger.info("Training time: %.2fs", time() - t0)
+
+    # final test evaluation
+    label_rows_test = jnp.asarray(Y[test_split])
+    loss, acc, labels, targets = eval_step(params, batch_stats,
+                                           label_rows_test)
+    loss, acc = float(loss), float(acc)
+    labels = np.asarray(labels)
+    targets = np.asarray(targets)
+    logger.info("Performance on %s set: loss %.4f / accuracy %.4f",
+                test_split, loss, acc)
+    tsv_writer.writerow(["-1", "-1", "-1", "-1", "-1", str(loss), str(acc)])
+
+    state = (params, opt_state, batch_stats)
+    return state, final_epoch, loss, acc, labels, targets

@@ -1,0 +1,175 @@
+"""Training utilities: optimizer param groups, regularisation, early
+stopping, checkpointing.
+
+Counterpart of reference: mrgcn/tasks/utils.py plus the optimizer/penalty
+glue that lives inline in the reference task drivers.
+"""
+
+from __future__ import annotations
+
+import logging
+import pickle
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+logger = logging.getLogger(__name__)
+
+# Parameter leaves included in L1/L2 penalties and weight decay. The
+# reference penalises every parameter whose torch name contains 'weight'
+# (reference: node_classification.py:172-188): linear/conv kernels, BN
+# scales, R-GCN weight matrices and basis coefficients, and the gate vector
+# ('gate_weights' contains 'weight'); biases and the DistMult relation
+# vectors are excluded.
+_WEIGHT_LEAVES = {"kernel", "scale", "embedding", "pos_embedding",
+                  "weight_i", "weight_f", "comp_i", "comp_f", "gate_weights"}
+
+
+def weight_mask(params) -> Dict:
+    """Pytree of booleans marking 'weight'-like parameters."""
+
+    def mark(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        return name in _WEIGHT_LEAVES
+
+    return jax.tree_util.tree_map_with_path(mark, params)
+
+
+def regularization(params, l1_lambda: float, l2_lambda: float) -> jnp.ndarray:
+    """L1/L2 penalty over weight-like parameters
+    (reference: node_classification.py:172-188)."""
+    if l1_lambda <= 0 and l2_lambda <= 0:
+        return jnp.asarray(0.0, dtype=jnp.float32)
+    mask = weight_mask(params)
+    total = jnp.asarray(0.0, dtype=jnp.float32)
+    for leaf, m in zip(jax.tree.leaves(params), jax.tree.leaves(mask)):
+        if not m:
+            continue
+        if l1_lambda > 0:
+            total = total + l1_lambda * jnp.sum(jnp.abs(leaf))
+        if l2_lambda > 0:
+            total = total + l2_lambda * jnp.sum(leaf ** 2)
+    return total
+
+
+def _param_labels(params, optimizer_config: Dict, featureless: bool):
+    """Group label per parameter: 'gates' for the gate vector, the datatype
+    for encoder instances (name prefix, e.g. ``xsd_numeric_0`` ->
+    ``xsd.numeric``), 'default' otherwise
+    (reference: tasks/utils.py:8-45)."""
+    datatype_labels = {k for k in optimizer_config if k != "gate_weights"}
+
+    def label(path, leaf):
+        top = path[0].key if hasattr(path[0], "key") else str(path[0])
+        if top == "gate_weights" and not featureless:
+            return "gates"
+        datatype = ".".join(top.split("_")[:2])
+        if datatype in datatype_labels:
+            return datatype
+        return "default"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def _adam_like(lr: float, weight_decay: float, params_mask=None):
+    """torch ``optim.Adam(lr, weight_decay)`` equivalence: decay is added to
+    the gradient *before* the Adam moments."""
+    steps = []
+    if weight_decay and weight_decay > 0:
+        steps.append(optax.add_decayed_weights(weight_decay, params_mask))
+    steps.append(optax.adam(lr))
+    return optax.chain(*steps)
+
+
+def build_optimizer(params, config: Dict, optimizer_config: Dict,
+                    featureless: bool) -> optax.GradientTransformation:
+    """Global-norm clip (1.0, reference: node_classification.py:192) +
+    per-group Adam with the reference's group structure."""
+    base_lr = config["model"]["learning_rate"]
+    base_wd = config["model"].get("weight_decay", 0.0)
+
+    labels = _param_labels(params, optimizer_config or {}, featureless)
+    present = set(jax.tree.leaves(labels))
+
+    transforms = {"default": _adam_like(base_lr, base_wd)}
+    if "gates" in present:
+        gates_cfg = (optimizer_config or {}).get("gate_weights", {})
+        transforms["gates"] = _adam_like(gates_cfg.get("lr", base_lr),
+                                         gates_cfg.get("weight_decay",
+                                                       base_wd))
+    for datatype, cfg in (optimizer_config or {}).items():
+        if datatype == "gate_weights" or datatype not in present:
+            continue
+        unknown = set(cfg) - {"lr", "weight_decay"}
+        if unknown:
+            logger.warning("Ignoring unsupported optim params for %s: %s",
+                           datatype, sorted(unknown))
+        transforms[datatype] = _adam_like(cfg.get("lr", base_lr),
+                                          cfg.get("weight_decay", base_wd))
+
+    for lbl in present:  # any label without explicit config -> default
+        transforms.setdefault(lbl, _adam_like(base_lr, base_wd))
+
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.multi_transform(transforms, labels))
+
+
+class EarlyStop:
+    """Patience/tolerance early stopping with a warm-up delay, keeping the
+    best parameters in host memory (reference: tasks/utils.py:47-90)."""
+
+    def __init__(self, patience: int = 7, tolerance: float = 0.01,
+                 delay: int = 10):
+        self.tolerance = tolerance
+        self.delay = delay
+        self._patience_default = patience
+        self.patience = patience
+        self.stop = False
+        self.best_score = -1.0
+        self.best_state: Optional[Tuple] = None
+
+    def record(self, score: float, state) -> None:
+        if self.delay > 0:
+            self.delay -= 1
+            return
+
+        if self.best_score < 0:
+            self._update(score, state)
+            return
+
+        self.patience -= 1
+        if (score + self.tolerance) < self.best_score:
+            self._update(score, state)
+            self.patience = self._patience_default
+            self.stop = False
+
+        if self.patience <= 0:
+            self.stop = True
+
+    def _update(self, score: float, state) -> None:
+        self.best_score = score
+        self.best_state = jax.tree.map(np.asarray, state)
+
+
+def save_checkpoint(path: str, epoch: int, params, opt_state, batch_stats,
+                    loss: float) -> None:
+    """Persist ``{epoch, params, optimizer state, batch stats, loss}``
+    (reference: run.py:230-236)."""
+    state = {
+        "epoch": epoch,
+        "params": jax.tree.map(np.asarray, params),
+        "opt_state": jax.tree.map(np.asarray, opt_state),
+        "batch_stats": jax.tree.map(np.asarray, batch_stats),
+        "loss": float(loss),
+    }
+    with open(path, "wb") as f:
+        pickle.dump(state, f)
+
+
+def load_checkpoint(path: str) -> Dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)

@@ -1,0 +1,114 @@
+"""End-to-end smoke tests: synthetic RDF -> mkdataset -> run.
+
+The class signal lives only in the literal features (see tests/synth.py), so
+learning proves the full multimodal path works.
+"""
+
+import numpy as np
+import pytest
+
+from mrgcn_tpu.config import apply_defaults
+from mrgcn_tpu.data import artifact as artifact_io
+from mrgcn_tpu.data.tsv import TSV
+from mrgcn_tpu.mkdataset import build
+from mrgcn_tpu.tasks import link_prediction, node_classification
+
+from tests import synth
+
+
+@pytest.fixture(scope="module")
+def nc_artifact(tmp_path_factory):
+    d = tmp_path_factory.mktemp("nc")
+    paths = synth.make_nc_dataset(str(d))
+    config = apply_defaults(synth.nc_config(paths))
+    A, F, Y, data, sample_map, class_map = build(config)
+    path = str(d / "dataset.npz")
+    artifact_io.save(path, A, F, Y=Y, data=data, sample_map=sample_map,
+                     class_map=class_map)
+    return artifact_io.load(path), config
+
+
+@pytest.fixture(scope="module")
+def lp_artifact(tmp_path_factory):
+    d = tmp_path_factory.mktemp("lp")
+    paths = synth.make_lp_dataset(str(d))
+    config = apply_defaults(synth.lp_config(paths))
+    A, F, Y, data, sample_map, class_map = build(config)
+    path = str(d / "dataset.npz")
+    artifact_io.save(path, A, F, Y=Y, data=data, sample_map=sample_map,
+                     class_map=class_map)
+    return artifact_io.load(path), config
+
+
+def test_nc_artifact_contents(nc_artifact):
+    art, _ = nc_artifact
+    assert art.structure.num_nodes > 60
+    assert set(art.Y) == {"train", "valid", "test"}
+    assert art.class_map == ["http://example.org/c0", "http://example.org/c1"]
+    assert "xsd.numeric" in art.F and "xsd.gYear" in art.F
+
+
+def test_nc_end_to_end_learns(nc_artifact):
+    art, config = nc_artifact
+    tsv = TSV("/dev/null", "w", dry_run=True)
+    state, epoch, loss, acc, labels, targets = node_classification.run(
+        art, config, tsv, featureless=False, test_split="test",
+        checkpoint=None, seed=3)
+    assert np.isfinite(loss)
+    # class signal is purely in the literals; multimodal model must beat
+    # chance clearly
+    assert acc >= 0.75, f"test accuracy {acc}"
+    assert labels.shape == targets.shape
+
+
+def test_nc_featureless_near_chance(nc_artifact):
+    """Structure is random noise: a featureless model stays near 50%."""
+    art, config = nc_artifact
+    tsv = TSV("/dev/null", "w", dry_run=True)
+    _, _, _, acc, _, _ = node_classification.run(
+        art, config, tsv, featureless=True, test_split="test",
+        checkpoint=None, seed=3)
+    assert acc <= 0.8
+
+
+def test_lp_end_to_end(lp_artifact):
+    art, config = lp_artifact
+    tsv = TSV("/dev/null", "w", dry_run=True)
+    state, epoch, loss, mrr, hits, ranks = link_prediction.run(
+        art, config, tsv, featureless=True, test_split="test",
+        checkpoint=None, seed=3)
+    assert np.isfinite(loss)
+    n = art.structure.num_nodes
+    # much better than the random-guess MRR ~= ln(n)/n
+    assert mrr["raw"] > 2.0 / n, f"raw MRR {mrr['raw']}"
+    assert mrr["flt"] >= mrr["raw"] - 1e-9
+    assert len(ranks["raw"]) == 2 * art.data["test"].shape[0]
+    assert all(r >= 1 for r in ranks["raw"])
+
+
+def test_nc_checkpoint_roundtrip(nc_artifact, tmp_path):
+    art, config = nc_artifact
+    import copy
+    config = copy.deepcopy(config)
+    config["model"]["epoch"] = 2
+
+    tsv = TSV("/dev/null", "w", dry_run=True)
+    state, epoch, loss, acc, _, _ = node_classification.run(
+        art, config, tsv, featureless=False, test_split="valid",
+        checkpoint=None, seed=3)
+
+    from mrgcn_tpu.tasks import utils as tutils
+    params, opt_state, batch_stats = state
+    ckpt = str(tmp_path / "ckpt.pkl")
+    tutils.save_checkpoint(ckpt, epoch, params, opt_state, batch_stats, loss)
+
+    state2 = tutils.load_checkpoint(ckpt)
+    assert state2["epoch"] == 2
+
+    # resume for 1 more epoch
+    config["model"]["epoch"] = 1
+    tsv2 = TSV("/dev/null", "w", dry_run=True)
+    _, epoch2, _, _, _, _ = node_classification.run(
+        art, config, tsv2, featureless=False, test_split="valid",
+        checkpoint=ckpt, seed=3)
+    assert epoch2 == 3

@@ -1,0 +1,167 @@
+"""Model-layer tests: RGCN stack and multimodal MRGCN."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mrgcn_tpu.models.mrgcn import MRGCN, module_names
+from mrgcn_tpu.models.rgcn import RGCN, EdgeBlock
+
+
+def _edges(rng, n=10, R=3, E=60):
+    src = rng.integers(0, n, E).astype(np.int32)
+    dst = rng.integers(0, n, E).astype(np.int32)
+    rel = rng.integers(0, R, E).astype(np.int32)
+    norm = rng.random(E).astype(np.float32)
+    return EdgeBlock(src=jnp.asarray(src), dst=jnp.asarray(dst),
+                     rel=jnp.asarray(rel), norm=jnp.asarray(norm),
+                     num_out=n)
+
+
+def test_featureless_rgcn_forward():
+    rng = np.random.default_rng(0)
+    n, R = 10, 3
+    edges = _edges(rng, n, R)
+    model = RGCN(hidden_dims=(8, 4), num_relations=R, num_nodes=n,
+                 featureless=True)
+    params = model.init(jax.random.PRNGKey(0), None, edges)
+    out = model.apply(params, None, edges)
+    assert out.shape == (n, 4)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_rgcn_with_bases_param_shapes():
+    rng = np.random.default_rng(1)
+    n, R, B = 10, 4, 2
+    edges = _edges(rng, n, R)
+    model = RGCN(hidden_dims=(8, 5), num_relations=R, num_nodes=n,
+                 num_bases=B, featureless=True)
+    params = model.init(jax.random.PRNGKey(0), None, edges)
+    p0 = params["params"]["layer_0"]
+    assert p0["weight_i"].shape == (B, n, 8)
+    assert p0["comp_i"].shape == (R, B)
+    p1 = params["params"]["layer_1"]
+    assert p1["weight_f"].shape == (B, 8, 5)
+
+
+def test_rgcn_link_prediction_relations():
+    rng = np.random.default_rng(2)
+    n, R = 8, 3
+    edges = _edges(rng, n, R)
+    model = RGCN(hidden_dims=(6, 6), num_relations=R, num_nodes=n,
+                 featureless=True, link_prediction=True)
+    params = model.init(jax.random.PRNGKey(0), None, edges)
+    assert params["params"]["relations"].shape == (R, 6)
+
+
+def test_node_dropout_train_vs_eval():
+    rng = np.random.default_rng(3)
+    n, R = 12, 2
+    edges = _edges(rng, n, R)
+    model = RGCN(hidden_dims=(4, 4), num_relations=R, num_nodes=n,
+                 featureless=True, p_dropout=0.5)
+    params = model.init(jax.random.PRNGKey(0), None, edges)
+    eval1 = model.apply(params, None, edges, train=False)
+    eval2 = model.apply(params, None, edges, train=False)
+    np.testing.assert_array_equal(np.asarray(eval1), np.asarray(eval2))
+    train_out = model.apply(params, None, edges, train=True,
+                            rngs={"dropout": jax.random.PRNGKey(7)})
+    assert not np.allclose(np.asarray(train_out), np.asarray(eval1))
+
+
+MODULES_CONFIG = (
+    ("xsd.numeric", (1, 4, 0.0)),
+    ("xsd.gYear", (6, 2, 0.0)),
+    ("xsd.string", (None, 8, 0.1)),
+    ("ogc.wktLiteral", (9, 4, "S", 0.0)),
+    ("blob.image", (None, {"mean": [0.5, 0.5, 0.5],
+                           "std": [0.25, 0.25, 0.25]}, 4, 0.0)),
+)
+
+
+def _multimodal_inputs(rng, n):
+    feats = {}
+    names = module_names(MODULES_CONFIG)
+    feats[names[0]] = (jnp.asarray(rng.random((5, 1)), dtype=jnp.float32),
+                       jnp.asarray([0, 1, 2, 3, 4], dtype=jnp.int32))
+    feats[names[1]] = (jnp.asarray(rng.random((3, 6)), dtype=jnp.float32),
+                       jnp.asarray([2, 5, 7], dtype=jnp.int32))
+    feats[names[2]] = (jnp.asarray(
+        rng.integers(0, 259, (4, 16)), dtype=jnp.int32),
+        jnp.asarray([1, 3, 5, 6], dtype=jnp.int32))
+    feats[names[3]] = (jnp.asarray(rng.random((2, 9, 20)),
+                                   dtype=jnp.float32),
+                       jnp.asarray([0, 9], dtype=jnp.int32))
+    feats[names[4]] = (jnp.asarray(
+        rng.integers(0, 255, (2, 3, 32, 32)), dtype=jnp.uint8),
+        jnp.asarray([4, 8], dtype=jnp.int32))
+    return feats
+
+
+def test_module_names_match_reference_scheme():
+    names = module_names(MODULES_CONFIG)
+    assert names == ("xsd_numeric_0", "xsd_gYear_0", "xsd_string_0",
+                     "ogc_wktLiteral_0", "blob_image_0")
+
+
+def test_mrgcn_multimodal_forward():
+    rng = np.random.default_rng(4)
+    n, R = 10, 3
+    edges = _edges(rng, n, R)
+    model = MRGCN(hidden_dims=(16, 3), modules_config=MODULES_CONFIG,
+                  num_relations=R, num_nodes=n)
+    feats = _multimodal_inputs(rng, n)
+    params = model.init(jax.random.PRNGKey(0), feats, edges)
+    out = model.apply(params, feats, edges)
+    assert out.shape == (n, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # gates exist, init 0.1 (reference: mrgcn.py:150-156)
+    gates = params["params"]["gate_weights"]
+    np.testing.assert_allclose(np.asarray(gates), 0.1)
+    assert gates.shape == (5,)
+
+
+def test_mrgcn_gradients_flow_to_all_encoders():
+    rng = np.random.default_rng(5)
+    n, R = 10, 3
+    edges = _edges(rng, n, R)
+    model = MRGCN(hidden_dims=(16, 3), modules_config=MODULES_CONFIG,
+                  num_relations=R, num_nodes=n)
+    feats = _multimodal_inputs(rng, n)
+    variables = model.init(jax.random.PRNGKey(0), feats, edges)
+    params = variables["params"]
+    other = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss_fn(p):
+        out, _ = model.apply({"params": p, **other}, feats, edges,
+                             train=True, rngs={"dropout": jax.random.PRNGKey(1)},
+                             mutable=["batch_stats"])
+        return jnp.sum(out ** 2)
+
+    grads = jax.grad(loss_fn)(params)
+    assert float(jnp.abs(grads["gate_weights"]).sum()) > 0
+    for name in module_names(MODULES_CONFIG):
+        leaf_sum = sum(float(jnp.abs(g).sum())
+                       for g in jax.tree.leaves(grads[name]))
+        assert leaf_sum > 0, f"no gradient reached encoder {name}"
+
+
+def test_mrgcn_jit_compiles_once():
+    rng = np.random.default_rng(6)
+    n, R = 10, 3
+    edges = _edges(rng, n, R)
+    model = MRGCN(hidden_dims=(8, 2), modules_config=MODULES_CONFIG[:2],
+                  num_relations=R, num_nodes=n)
+    names = module_names(MODULES_CONFIG[:2])
+    feats = {k: v for k, v in _multimodal_inputs(rng, n).items()
+             if k in names}
+    params = model.init(jax.random.PRNGKey(0), feats, edges)
+
+    @jax.jit
+    def fwd(p, f, e):
+        return model.apply(p, f, e)
+
+    out1 = fwd(params, feats, edges)
+    out2 = fwd(params, feats, edges)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))

@@ -33,8 +33,16 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-# elements allowed for the (B, n, out) direct-path buffer (f32)
+# elements allowed for the (B, n, out) direct-path buffer (f32), measured in
+# *padded* elements: TPU tiles f32 as (8, 128), so a minor dim of e.g. 14
+# occupies 128 lanes — a 9x inflation that must enter the budget decision
 DIRECT_BUDGET_ELEMS = 2 ** 27  # 512 MiB
+
+
+def _padded_elems(rows: int, minor: int) -> int:
+    pad_minor = -(-minor // 128) * 128
+    pad_rows = -(-rows // 8) * 8
+    return pad_rows * pad_minor
 
 
 def segment_sum(messages: jnp.ndarray, src: jnp.ndarray,
@@ -65,7 +73,7 @@ def transform_aggregate(H: jnp.ndarray, src: jnp.ndarray, dst: jnp.ndarray,
     B, _, out_dim = basis.shape
     R = B if comp is None else comp.shape[0]
 
-    direct_elems = R * n_cols * out_dim
+    direct_elems = _padded_elems(R * n_cols, out_dim)
     if direct_elems <= budget_elems:
         W = _compose(basis, comp)  # (R, in, out)
         HW = jnp.einsum("ni,rio->rno", H, W,
@@ -75,10 +83,14 @@ def transform_aggregate(H: jnp.ndarray, src: jnp.ndarray, dst: jnp.ndarray,
         messages = HW_flat[flat_idx] * norm[:, None]
         return segment_sum(messages, src, num_nodes)
 
-    # basis-scan path: O(E*out) memory, B sequential matmuls
+    # basis-scan path: O(E*out) memory, B sequential matmuls. The body is
+    # rematerialised in the backward pass — without checkpoint, scan stacks
+    # the (E, out) per-basis messages across iterations, a (B, E, out)
+    # residual that lane padding inflates ~128/out times.
     if comp is None:
         comp = jnp.eye(B, dtype=H.dtype)
 
+    @jax.checkpoint
     def body(acc, operand):
         basis_b, comp_b = operand  # (in, out), (R,)
         HWb = jnp.dot(H, basis_b, preferred_element_type=jnp.float32)
@@ -110,13 +122,14 @@ def gather_aggregate(node_weights: jnp.ndarray, src: jnp.ndarray,
         messages = flat[flat_idx] * norm[:, None]
         return segment_sum(messages, src, num_nodes)
 
-    if R * n_cols * out_dim <= budget_elems:
+    if _padded_elems(R * n_cols, out_dim) <= budget_elems:
         W = jnp.einsum("rb,bno->rno", comp, node_weights)
         flat = W.reshape(R * n_cols, out_dim)
         flat_idx = rel.astype(jnp.int32) * n_cols + dst.astype(jnp.int32)
         messages = flat[flat_idx] * norm[:, None]
         return segment_sum(messages, src, num_nodes)
 
+    @jax.checkpoint
     def body(acc, operand):
         wb, comp_b = operand  # (n_cols, out), (R,)
         coef = norm * comp_b[rel]

@@ -1,0 +1,103 @@
+"""Device mesh + sharding rules for multi-chip training.
+
+The reference's distribution story is manual per-module CPU/GPU placement
+with explicit ``.to(device)`` hops (reference: mrgcn/models/mrgcn.py:136-180,
+mrgcn/data/batch.py:114-132). The TPU-native equivalent is one jitted program
+over a ``jax.sharding.Mesh``; GSPMD inserts the collectives.
+
+Sharding layout for full-graph R-GCN training:
+
+  * **edge arrays** (src/dst/rel/norm): sharded along the ``data`` axis — the
+    segment-sum becomes per-shard partial aggregation + ``psum`` over ICI;
+  * **per-modality feature rows**: sharded along ``data`` — encoders are
+    embarrassingly parallel over rows;
+  * **parameters**: replicated by default; the basis dimension of the R-GCN
+    weights (``weight_f (S, in, out)``, ``weight_i (S, n, out)``) shards over
+    the ``model`` axis when divisible, which keeps the big identity weight
+    from being replicated on every chip;
+  * **node embeddings / logits**: replicated (every chip needs every node's
+    embedding for ranking / the next layer's gathers).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mrgcn_tpu.models.rgcn import EdgeBlock
+
+logger = logging.getLogger(__name__)
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              model_axis: int = 1) -> Mesh:
+    """1-or-2-D mesh over the first ``n_devices`` devices:
+    ``(data, model)`` with ``model_axis`` chips on the model dimension."""
+    devices = jax.devices()
+    n = len(devices) if n_devices is None else n_devices
+    devices = np.asarray(devices[:n])
+    if n % model_axis != 0:
+        raise ValueError(f"{n} devices not divisible by model axis "
+                         f"{model_axis}")
+    return Mesh(devices.reshape(n // model_axis, model_axis),
+                ("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def edge_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_edges(mesh: Mesh, edges: EdgeBlock) -> EdgeBlock:
+    """Place edge arrays sharded over the data axis. Edge counts must be
+    divisible by the data-axis size (use
+    :func:`mrgcn_tpu.encodings.structure.pad_edges`)."""
+    spec = edge_sharding(mesh)
+    put = lambda x: jax.device_put(x, spec)  # noqa: E731
+    return EdgeBlock(src=put(edges.src), dst=put(edges.dst),
+                     rel=put(edges.rel), norm=put(edges.norm),
+                     num_out=edges.num_out, num_in=edges.num_in,
+                     dst_global=(None if edges.dst_global is None
+                                 else put(edges.dst_global)))
+
+
+def shard_features(mesh: Mesh, features: Dict) -> Dict:
+    """Shard per-modality feature rows over the data axis where divisible;
+    replicate otherwise (feature row counts are data-dependent)."""
+    data_size = mesh.shape["data"]
+    out = {}
+    for name, (data, node_idx) in features.items():
+        if data.shape[0] % data_size == 0 and data.shape[0] > 0:
+            spec = NamedSharding(mesh, P("data"))
+        else:
+            spec = replicated(mesh)
+        out[name] = (jax.device_put(data, spec),
+                     jax.device_put(node_idx, spec))
+    return out
+
+
+def param_shardings(mesh: Mesh, params):
+    """Replicate everything except the basis dimension of the R-GCN weights,
+    which shards over the ``model`` axis when divisible."""
+    model_size = mesh.shape["model"]
+
+    def rule(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name in ("weight_i", "weight_f") and model_size > 1 \
+                and leaf.shape[0] % model_size == 0:
+            return NamedSharding(mesh, P("model"))
+        return replicated(mesh)
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_params(mesh: Mesh, params):
+    shardings = param_shardings(mesh, params)
+    return jax.tree.map(jax.device_put, params, shardings)

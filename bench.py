@@ -1,0 +1,108 @@
+"""Headline benchmark: DMG-scale full-batch R-GCN training epoch.
+
+Workload (matching benchmarks/torch_baseline.py exactly): n=100k nodes,
+R=121 relations (60 properties + inverses + self-loop), 700k edges, basis
+decomposition B=40, featureless 2-layer R-GCN (16 hidden, 14 classes), CE
+loss over 10k labelled nodes, Adam + global-norm clip. One epoch = one
+full-batch train step.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <epoch seconds>, "unit": "s",
+     "vs_baseline": <baseline_s / ours_s>}
+
+``vs_baseline`` compares against the torch-CPU epoch time in
+``bench_baseline.json`` (measured once with benchmarks/torch_baseline.py on
+this machine; re-measure with ``python benchmarks/torch_baseline.py``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from benchmarks.torch_baseline import build_workload  # noqa: E402
+
+
+def run_jax_epochs(w, steps: int = 10) -> float:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mrgcn_tpu.models.rgcn import RGCN, EdgeBlock
+
+    n, R, B = w["n"], w["R"], w["num_bases"]
+    hidden, C = w["hidden"], w["num_classes"]
+
+    edges = EdgeBlock(src=jnp.asarray(w["src"], dtype=jnp.int32),
+                      dst=jnp.asarray(w["dst"], dtype=jnp.int32),
+                      rel=jnp.asarray(w["rel"], dtype=jnp.int32),
+                      norm=jnp.asarray(w["norm"]),
+                      num_out=n)
+
+    model = RGCN(hidden_dims=(hidden, C), num_relations=R, num_nodes=n,
+                 num_bases=B, featureless=True)
+    params = model.init(jax.random.PRNGKey(0), None, edges)["params"]
+
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0),
+                            optax.adam(0.01))
+    opt_state = optimizer.init(params)
+
+    labels_idx = jnp.asarray(w["labels_idx"], dtype=jnp.int32)
+    labels_cls = jnp.asarray(w["labels_cls"], dtype=jnp.int32)
+
+    @jax.jit
+    def train_step(params, opt_state):
+        def loss_fn(p):
+            out = model.apply({"params": p}, None, edges)
+            logits = out[labels_idx]
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels_cls).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    params, opt_state, loss = train_step(params, opt_state)  # compile+warmup
+    jax.block_until_ready(loss)
+
+    times = []
+    for _ in range(steps):
+        t0 = time.time()
+        params, opt_state, loss = train_step(params, opt_state)
+        jax.block_until_ready(loss)
+        times.append(time.time() - t0)
+    return float(np.median(times))
+
+
+def main() -> int:
+    w = build_workload()
+    ours_s = run_jax_epochs(w)
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "bench_baseline.json")
+    vs_baseline = -1.0
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+        baseline_s = baseline.get("torch_cpu_epoch_s", -1.0)
+        if baseline_s > 0:
+            vs_baseline = baseline_s / ours_s
+
+    print(json.dumps({
+        "metric": "dmg_scale_rgcn_epoch_time",
+        "value": round(ours_s, 6),
+        "unit": "s",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

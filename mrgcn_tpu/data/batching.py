@@ -1,0 +1,177 @@
+"""Mini-batching: L-hop BFS neighbourhood expansion with static shapes.
+
+TPU re-design of reference: mrgcn/data/batch.py:152-315. The reference keeps
+per-hop sparse row slices of the global adjacency; here each hop becomes its
+own :class:`EdgeBlock` with *local* (remapped) src/dst indices and the global
+``dst`` retained for the identity-weight gather, padded to power-of-two
+buckets so a handful of XLA programs covers every batch.
+
+Hop invariant (reference: mrgcn/models/rgcn.py:91-128): model layer ``l`` of
+``L`` consumes the edges collected at hop ``L-1-l`` — the input layer
+aggregates the outermost neighbourhood, the final layer produces embeddings
+for the batch nodes themselves. Modality encoders run only on the outermost
+hop's nodes (reference: mrgcn/models/mrgcn.py:216-248).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from mrgcn_tpu.encodings.structure import GraphStructure
+from mrgcn_tpu.models.rgcn import EdgeBlock
+
+logger = logging.getLogger(__name__)
+
+
+def _bucket(n: int, minimum: int = 64) -> int:
+    """Next power of two >= n (>= minimum), so shapes repeat across batches."""
+    size = minimum
+    while size < n:
+        size *= 2
+    return size
+
+
+class EdgeIndex:
+    """CSR-style index over the COO edge list, keyed by source row
+    (the reference walks ``A.indptr``/``A.indices`` the same way,
+    reference: batch.py:228-243)."""
+
+    def __init__(self, structure: GraphStructure):
+        order = np.argsort(structure.src, kind="stable")
+        self.src = structure.src[order]
+        self.dst = structure.dst[order]
+        self.rel = structure.rel[order]
+        self.norm = structure.norm[order]
+        self.indptr = np.searchsorted(
+            self.src, np.arange(structure.num_nodes + 1))
+        self.num_nodes = structure.num_nodes
+
+    def out_edges(self, nodes: np.ndarray) -> np.ndarray:
+        """Edge positions whose source is in ``nodes``."""
+        spans = [np.arange(self.indptr[v], self.indptr[v + 1])
+                 for v in nodes]
+        if not spans:
+            return np.empty(0, dtype=np.int64)
+        return np.concatenate(spans)
+
+
+@dataclass
+class MiniBatch:
+    """One L-hop sampled subgraph, ready for the jitted step."""
+
+    layer_edges: Tuple[EdgeBlock, ...]   # ordered for model layers 0..L-1
+    batch_nodes: np.ndarray              # global ids of the batch nodes
+    outer_nodes: np.ndarray              # global ids of the outermost hop
+    num_batch: int                       # un-padded batch node count
+
+
+def sample_minibatch(index: EdgeIndex, batch_nodes: np.ndarray,
+                     num_layers: int,
+                     edge_bucket: int = 256,
+                     node_bucket: int = 64) -> MiniBatch:
+    """BFS-expand ``batch_nodes`` for ``num_layers`` hops
+    (reference: batch.py:185-197)."""
+    batch_nodes = np.asarray(batch_nodes, dtype=np.int32)
+
+    hop_nodes: List[np.ndarray] = [batch_nodes]     # S_0 .. S_L
+    hop_edges: List[np.ndarray] = []                # E_0 .. E_{L-1}
+    sample = batch_nodes
+    for _ in range(num_layers):
+        eids = index.out_edges(sample)
+        neighbours = np.unique(index.dst[eids])     # sorted global ids
+        hop_edges.append(eids)
+        hop_nodes.append(neighbours.astype(np.int32))
+        sample = neighbours
+
+    # model layer l uses hop L-1-l: rows = S_{L-1-l}, inputs = S_{L-l}
+    layers: List[EdgeBlock] = []
+    for layer in range(num_layers):
+        hop = num_layers - 1 - layer
+        eids = hop_edges[hop]
+        out_nodes, in_nodes = hop_nodes[hop], hop_nodes[hop + 1]
+
+        src_local = _local_ids(index.src[eids], out_nodes)
+        dst_local = _local_ids(index.dst[eids], in_nodes)
+        dst_global = index.dst[eids].astype(np.int32)
+        norm = index.norm[eids]
+        rel = index.rel[eids]
+
+        E = _bucket(len(eids), edge_bucket)
+        pad = E - len(eids)
+        n_out = _bucket(len(out_nodes), node_bucket)
+        n_in = _bucket(len(in_nodes), node_bucket)
+        if pad:
+            # padding edges scatter to an out-of-range row and are dropped
+            src_local = np.concatenate(
+                [src_local, np.full(pad, n_out, dtype=np.int32)])
+            dst_local = np.concatenate(
+                [dst_local, np.zeros(pad, dtype=np.int32)])
+            dst_global = np.concatenate(
+                [dst_global, np.zeros(pad, dtype=np.int32)])
+            rel = np.concatenate([rel, np.zeros(pad, dtype=np.int32)])
+            norm = np.concatenate(
+                [norm, np.zeros(pad, dtype=np.float32)])
+
+        layers.append(EdgeBlock(
+            src=jnp.asarray(src_local), dst=jnp.asarray(dst_local),
+            rel=jnp.asarray(rel), norm=jnp.asarray(norm),
+            num_out=n_out, num_in=n_in,
+            dst_global=jnp.asarray(dst_global)))
+
+    return MiniBatch(layer_edges=tuple(layers),
+                     batch_nodes=batch_nodes,
+                     outer_nodes=hop_nodes[-1],
+                     num_batch=len(batch_nodes))
+
+
+def _local_ids(global_ids: np.ndarray, universe: np.ndarray) -> np.ndarray:
+    """Positions of ``global_ids`` within the sorted-or-ordered ``universe``."""
+    order = np.argsort(universe, kind="stable")
+    pos = np.searchsorted(universe, global_ids, sorter=order)
+    return order[pos].astype(np.int32)
+
+
+def subset_features(features: Dict, outer_nodes: np.ndarray,
+                    row_bucket: int = 64) -> Dict:
+    """Restrict per-encoder feature rows to the outermost-hop nodes and remap
+    their indices to hop-local positions
+    (reference: batch.py:265-315 ``mksubset``). Keeps empty entries out —
+    the model skips missing encoders, preserving module order by name."""
+    outer_sorted = np.asarray(outer_nodes)
+    out: Dict = {}
+    for name, (data, node_idx) in features.items():
+        node_idx_np = np.asarray(node_idx)
+        mask = np.isin(node_idx_np, outer_sorted)
+        count = int(mask.sum())
+        if count == 0:
+            continue
+        rows = np.asarray(data)[mask]
+        local = _local_ids(node_idx_np[mask], outer_sorted)
+
+        M = _bucket(count, row_bucket)
+        pad = M - count
+        if pad:
+            rows = np.concatenate(
+                [rows, np.zeros((pad, *rows.shape[1:]), dtype=rows.dtype)])
+            # padded rows scatter out of range and are dropped
+            local = np.concatenate(
+                [local, np.full(pad, len(outer_sorted) + row_bucket,
+                                dtype=np.int32)])
+        out[name] = (jnp.asarray(rows), jnp.asarray(local))
+    return out
+
+
+def make_label_batches(label_rows: np.ndarray,
+                       batchsize: int) -> List[np.ndarray]:
+    """Slice labelled nodes into batches
+    (reference: node_classification.py:329-351)."""
+    num_samples = label_rows.shape[0]
+    if batchsize <= 0:
+        batchsize = num_samples
+    return [label_rows[b:min(b + batchsize, num_samples)]
+            for b in range(0, num_samples, batchsize)]

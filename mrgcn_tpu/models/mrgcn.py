@@ -183,7 +183,8 @@ class MRGCN(nn.Module):
             out = self.encoders[name](self._prepare(datatype, args, data),
                                       train=train)
             out = out * self.gate_weights[i]
-            X = X.at[node_idx, offset:offset + dim].set(out)
+            # mode="drop": padded feature rows carry out-of-range indices
+            X = X.at[node_idx, offset:offset + dim].set(out, mode="drop")
             offset += dim
         return X
 
@@ -191,7 +192,8 @@ class MRGCN(nn.Module):
                  train: bool = False) -> jnp.ndarray:
         X = None
         if not self.featureless:
-            num_rows = edges.num_in if edges.num_in is not None \
+            first = edges[0] if isinstance(edges, (tuple, list)) else edges
+            num_rows = first.num_in if first.num_in is not None \
                 else self.num_nodes
             X = self.compute_modality_embeddings(features or {}, num_rows,
                                                  train)

@@ -156,11 +156,15 @@ class RGCN(nn.Module):
         scale = keep.astype(X.dtype) / (1.0 - self.p_dropout)
         return X * scale[:, None]
 
-    def __call__(self, X: Optional[jnp.ndarray], edges: EdgeBlock,
+    def __call__(self, X: Optional[jnp.ndarray], edges,
                  train: bool = False) -> jnp.ndarray:
+        """``edges``: one EdgeBlock (full batch) or a tuple of per-layer
+        EdgeBlocks (mini batch; layer ``l`` consumes hop ``L-1-l``'s edges,
+        reference: models/rgcn.py:91-128)."""
         num_layers = len(self.layers)
+        per_layer = isinstance(edges, (tuple, list))
         for i, layer in enumerate(self.layers):
-            X = layer(X, edges)
+            X = layer(X, edges[i] if per_layer else edges)
             X = self._node_dropout(X, train)
             if i < num_layers - 1:  # ReLU on all but the output layer
                 X = nn.relu(X)

@@ -38,6 +38,7 @@ class RunInputs:
     text_pad_id: int = 256
     num_nodes: int = 0
     num_relations: int = 0
+    structure: object = None              # GraphStructure (for mini-batching)
 
 
 def prepare_inputs(artifact: Artifact, config: Dict,
@@ -105,7 +106,8 @@ def prepare_inputs(artifact: Artifact, config: Dict,
                      optimizer_config=optimizer_config,
                      X_width=X_width, featureless=featureless,
                      text_vocab_size=text_vocab, text_pad_id=text_pad_id,
-                     num_nodes=n, num_relations=structure.num_relations)
+                     num_nodes=n, num_relations=structure.num_relations,
+                     structure=structure)
 
 
 def hidden_dims_from_config(config: Dict, output_dim: Optional[int]

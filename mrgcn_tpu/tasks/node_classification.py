@@ -16,6 +16,7 @@ Evaluation parity notes:
 from __future__ import annotations
 
 import logging
+from dataclasses import dataclass
 from functools import partial
 from time import time
 from typing import Dict, List, Optional, Tuple
@@ -91,29 +92,84 @@ def build_model(inputs: RunInputs, config: Dict, num_classes: int) -> MRGCN:
                  text_pad_id=inputs.text_pad_id)
 
 
-def _loss_and_metrics(logits, label_rows):
-    idx, targets = label_rows[:, 0], label_rows[:, 1]
+def _loss_and_metrics(logits, idx, targets, weights):
+    """Weighted CE/accuracy; padded label rows carry weight 0 so every batch
+    bucket shape yields the reference's per-batch means."""
     picked = logits[idx]
-    loss = optax.softmax_cross_entropy_with_integer_labels(
-        picked, targets).mean()
+    ce = optax.softmax_cross_entropy_with_integer_labels(picked, targets)
+    total = jnp.maximum(jnp.sum(weights), 1.0)
+    loss = jnp.sum(ce * weights) / total
     labels = jnp.argmax(picked, axis=1)
-    acc = jnp.mean((labels == targets).astype(jnp.float32))
+    acc = jnp.sum((labels == targets).astype(jnp.float32) * weights) / total
     return loss, acc, labels, targets
 
 
-def make_steps(model: MRGCN, optimizer, inputs: RunInputs, config: Dict):
+@dataclass
+class NCBatch:
+    """One training batch: graph slice + feature subset + padded labels."""
+
+    features: Dict
+    edges: object                # EdgeBlock or tuple of per-layer EdgeBlocks
+    idx: jnp.ndarray             # (m,) output-row index per labelled node
+    targets: jnp.ndarray         # (m,) class per labelled node
+    weights: jnp.ndarray         # (m,) 1.0 real / 0.0 padding
+    num_real: int = 0
+
+
+def _pad_labels(idx, targets, bucket_min: int = 64):
+    from mrgcn_tpu.data.batching import _bucket
+    m = len(idx)
+    M = _bucket(m, bucket_min)
+    pad = M - m
+    idx = np.concatenate([idx, np.zeros(pad, dtype=np.int32)])
+    targets = np.concatenate([targets, np.zeros(pad, dtype=np.int32)])
+    weights = np.concatenate([np.ones(m, dtype=np.float32),
+                              np.zeros(pad, dtype=np.float32)])
+    return (jnp.asarray(idx, dtype=jnp.int32),
+            jnp.asarray(targets, dtype=jnp.int32), jnp.asarray(weights))
+
+
+def make_batches(inputs: RunInputs, label_rows: np.ndarray, batchsize: int,
+                 num_layers: int) -> List[NCBatch]:
+    """Full batch when ``batchsize <= 0`` or everything fits one slice;
+    otherwise L-hop BFS mini-batches built once and reused every epoch
+    (reference: node_classification.py:127-143, 329-351)."""
+    num_samples = label_rows.shape[0]
+    if batchsize <= 0 or batchsize >= num_samples:
+        idx, targets, weights = _pad_labels(label_rows[:, 0],
+                                            label_rows[:, 1])
+        return [NCBatch(features=inputs.features, edges=inputs.edges,
+                        idx=idx, targets=targets, weights=weights,
+                        num_real=num_samples)]
+
+    from mrgcn_tpu.data import batching
+    index = batching.EdgeIndex(inputs.structure)
+    batches = []
+    for begin in range(0, num_samples, batchsize):
+        rows = label_rows[begin:begin + batchsize]
+        mb = batching.sample_minibatch(index, rows[:, 0], num_layers)
+        feats = batching.subset_features(inputs.features, mb.outer_nodes)
+        idx, targets, weights = _pad_labels(
+            np.arange(mb.num_batch, dtype=np.int32), rows[:, 1])
+        batches.append(NCBatch(features=feats, edges=mb.layer_edges,
+                               idx=idx, targets=targets, weights=weights,
+                               num_real=mb.num_batch))
+    return batches
+
+
+def make_steps(model: MRGCN, optimizer, config: Dict):
     l1 = config["model"]["l1_lambda"]
     l2 = config["model"]["l2_lambda"]
-    edges, features = inputs.edges, inputs.features
 
     @jax.jit
-    def train_step(params, batch_stats, opt_state, label_rows, rng):
+    def train_step(params, batch_stats, opt_state, features, edges, idx,
+                   targets, weights, rng):
         def loss_fn(p):
             out, updates = model.apply(
                 {"params": p, "batch_stats": batch_stats},
                 features, edges, train=True,
                 rngs={"dropout": rng}, mutable=["batch_stats"])
-            loss, acc, _, _ = _loss_and_metrics(out, label_rows)
+            loss, acc, _, _ = _loss_and_metrics(out, idx, targets, weights)
             loss = loss + tutils.regularization(p, l1, l2)
             return loss, (acc, updates.get("batch_stats", batch_stats))
 
@@ -124,12 +180,29 @@ def make_steps(model: MRGCN, optimizer, inputs: RunInputs, config: Dict):
         return params, new_stats, opt_state, loss, acc
 
     @jax.jit
-    def eval_step(params, batch_stats, label_rows):
+    def eval_step(params, batch_stats, features, edges, idx, targets,
+                  weights):
         out = model.apply({"params": params, "batch_stats": batch_stats},
                           features, edges, train=False)
-        return _loss_and_metrics(out, label_rows)
+        return _loss_and_metrics(out, idx, targets, weights)
 
     return train_step, eval_step
+
+
+def eval_batches(eval_step, params, batch_stats, batches: List[NCBatch]):
+    """Per-batch means averaged over batches
+    (reference: node_classification.py:229-310)."""
+    losses, accs, labels_all, targets_all = [], [], [], []
+    for b in batches:
+        loss, acc, labels, targets = eval_step(params, batch_stats,
+                                               b.features, b.edges, b.idx,
+                                               b.targets, b.weights)
+        losses.append(float(loss))
+        accs.append(float(acc))
+        labels_all.append(np.asarray(labels)[:b.num_real])
+        targets_all.append(np.asarray(targets)[:b.num_real])
+    return (float(np.mean(losses)), float(np.mean(accs)),
+            np.concatenate(labels_all), np.concatenate(targets_all))
 
 
 def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
@@ -176,18 +249,24 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
         epoch = state["epoch"]
         print(f" - {epoch} epoch")
 
-    train_step, eval_step = make_steps(model, optimizer, inputs, config)
+    train_step, eval_step = make_steps(model, optimizer, config)
 
     nepoch = config["model"]["epoch"]
+    batchsize = config["task"].get("batchsize", -1)
+    num_layers = len(model.hidden_dims)
     patience = config["task"]["early_stopping"]["patience"]
     tolerance = config["task"]["early_stopping"]["tolerance"]
     early_stop = tutils.EarlyStop(patience, tolerance) \
         if patience > 0 else None
 
-    label_rows_train = jnp.asarray(Y_train)
-    label_rows_valid = jnp.asarray(Y_valid) if Y_valid is not None else None
+    # batches are built once and reused every epoch
+    # (reference: node_classification.py:127-143)
+    train_batches = make_batches(inputs, Y_train, batchsize, num_layers)
+    valid_batches = make_batches(inputs, Y_valid, batchsize, num_layers) \
+        if Y_valid is not None else []
 
-    logger.info("Training for %d epoch", nepoch)
+    logger.info("Training for %d epoch (%d batch(es))", nepoch,
+                len(train_batches))
     t0 = time()
     final_epoch = epoch
     for ep in range(epoch + 1, nepoch + epoch + 1):
@@ -199,16 +278,21 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
             break
         final_epoch = ep
 
-        rng, step_rng = jax.random.split(rng)
-        params, batch_stats, opt_state, loss, acc = train_step(
-            params, batch_stats, opt_state, label_rows_train, step_rng)
-        train_loss, train_acc = float(loss), float(acc)
+        losses, accs = [], []
+        for b in train_batches:
+            rng, step_rng = jax.random.split(rng)
+            params, batch_stats, opt_state, loss, acc = train_step(
+                params, batch_stats, opt_state, b.features, b.edges,
+                b.idx, b.targets, b.weights, step_rng)
+            losses.append(float(loss))
+            accs.append(float(acc))
+        train_loss, train_acc = float(np.mean(losses)), float(np.mean(accs))
 
         val_loss, val_acc = -1.0, -1.0
-        if label_rows_valid is not None:
-            v_loss, v_acc, _, _ = eval_step(params, batch_stats,
-                                            label_rows_valid)
-            val_loss, val_acc = float(v_loss), float(v_acc)
+        if valid_batches:
+            val_loss, val_acc, _, _ = eval_batches(eval_step, params,
+                                                   batch_stats,
+                                                   valid_batches)
             logger.info("%04d | train loss %.4f / acc %.4f "
                         "| val loss %.4f / acc %.4f",
                         ep, train_loss, train_acc, val_loss, val_acc)
@@ -225,12 +309,10 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
     logger.info("Training time: %.2fs", time() - t0)
 
     # final test evaluation
-    label_rows_test = jnp.asarray(Y[test_split])
-    loss, acc, labels, targets = eval_step(params, batch_stats,
-                                           label_rows_test)
-    loss, acc = float(loss), float(acc)
-    labels = np.asarray(labels)
-    targets = np.asarray(targets)
+    test_batches = make_batches(inputs, Y[test_split], batchsize,
+                                num_layers)
+    loss, acc, labels, targets = eval_batches(eval_step, params,
+                                              batch_stats, test_batches)
     logger.info("Performance on %s set: loss %.4f / accuracy %.4f",
                 test_split, loss, acc)
     tsv_writer.writerow(["-1", "-1", "-1", "-1", "-1", str(loss), str(acc)])

@@ -19,6 +19,19 @@ from mrgcn_tpu.data.rdf import Literal, UniqueLiteral
 logger = logging.getLogger(__name__)
 
 
+def _read_path(path: str):
+    """Prefer the native C++ parser (mrgcn_tpu/native/ntparse.cpp); fall back
+    to the pure-Python parser."""
+    try:
+        from mrgcn_tpu.data.native import parse_file_native
+        triples = parse_file_native(path)
+        if triples is not None:
+            return triples
+    except Exception:  # pragma: no cover - any native failure falls back
+        logger.debug("native parser unavailable for %s", path, exc_info=True)
+    return parse_file(path)
+
+
 class KnowledgeGraph:
     """A set of triples plus convenience generators.
 
@@ -32,11 +45,11 @@ class KnowledgeGraph:
         if source is None:
             pass
         elif isinstance(source, str):
-            self._triples.update(parse_file(source))
+            self._triples.update(_read_path(source))
         elif isinstance(source, (list, tuple)) and source \
                 and isinstance(source[0], str):
             for path in source:
-                self._triples.update(parse_file(path))
+                self._triples.update(_read_path(path))
         elif isinstance(source, KnowledgeGraph):
             self._triples.update(source._triples)
         else:  # iterable of triples

@@ -1,0 +1,135 @@
+"""ctypes bindings for the native N-Triples parser.
+
+Builds ``mrgcn_tpu/native/_ntparse.so`` on first use (g++ -O3 -shared, links
+zlib) and exposes :func:`parse_file_native` with the same output contract as
+:func:`mrgcn_tpu.data.ntriples.parse_file`. Falls back silently if no
+compiler is available — the pure-Python parser is always correct.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+from typing import Iterator, List, Optional
+
+import numpy as np
+
+from mrgcn_tpu.data.ntriples import Triple
+from mrgcn_tpu.data.rdf import BNode, IRI, Literal
+
+logger = logging.getLogger(__name__)
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+_SRC = os.path.join(_NATIVE_DIR, "ntparse.cpp")
+_SO = os.path.join(_NATIVE_DIR, "_ntparse.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-lz",
+           "-o", _SO]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (OSError, subprocess.SubprocessError) as e:
+        logger.info("native parser build failed (%s); using pure Python", e)
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        if not os.path.exists(_SO) or \
+                os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError as e:
+            logger.info("native parser load failed (%s)", e)
+            _build_failed = True
+            return None
+
+        lib.nt_parse.restype = ctypes.c_void_p
+        lib.nt_parse.argtypes = [ctypes.c_char_p]
+        for name in ("nt_num_terms", "nt_num_triples", "nt_pool_size",
+                     "nt_skipped"):
+            getattr(lib, name).restype = ctypes.c_uint64
+            getattr(lib, name).argtypes = [ctypes.c_void_p]
+        lib.nt_error.restype = ctypes.c_char_p
+        lib.nt_error.argtypes = [ctypes.c_void_p]
+        for name, typ in (("nt_pool", ctypes.c_char),
+                          ("nt_offsets", ctypes.c_uint64),
+                          ("nt_kinds", ctypes.c_uint8),
+                          ("nt_lang_ids", ctypes.c_int64),
+                          ("nt_dtype_ids", ctypes.c_int64),
+                          ("nt_triples", ctypes.c_uint32)):
+            getattr(lib, name).restype = ctypes.POINTER(typ)
+            getattr(lib, name).argtypes = [ctypes.c_void_p]
+        lib.nt_free.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def parse_file_native(path: str) -> Optional[List[Triple]]:
+    """Parse with the native parser; None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+
+    handle = lib.nt_parse(path.encode())
+    try:
+        err = lib.nt_error(handle)
+        if err:
+            logger.warning("native parse error for %s: %s", path,
+                           err.decode())
+            return None
+
+        n_terms = lib.nt_num_terms(handle)
+        n_triples = lib.nt_num_triples(handle)
+        pool_size = lib.nt_pool_size(handle)
+        skipped = lib.nt_skipped(handle)
+        if skipped:
+            logger.debug("native parser skipped %d malformed lines", skipped)
+
+        pool = ctypes.string_at(lib.nt_pool(handle), pool_size)
+        offsets = np.ctypeslib.as_array(lib.nt_offsets(handle),
+                                        (n_terms + 1,)).copy()
+        kinds = np.ctypeslib.as_array(lib.nt_kinds(handle),
+                                      (n_terms,)).copy()
+        lang_ids = np.ctypeslib.as_array(lib.nt_lang_ids(handle),
+                                         (n_terms,)).copy()
+        dtype_ids = np.ctypeslib.as_array(lib.nt_dtype_ids(handle),
+                                          (n_terms,)).copy()
+        tri = np.ctypeslib.as_array(lib.nt_triples(handle),
+                                    (n_triples * 3,)).reshape(-1, 3).copy()
+    finally:
+        lib.nt_free(handle)
+
+    texts = [pool[offsets[i]:offsets[i + 1]].decode("utf-8")
+             for i in range(n_terms)]
+
+    terms: List = [None] * n_terms
+    for i in range(n_terms):
+        kind = kinds[i]
+        if kind == 0:
+            terms[i] = IRI(texts[i])
+        elif kind == 1:
+            terms[i] = BNode(texts[i])
+        elif kind == 2:
+            lang = texts[lang_ids[i]] if lang_ids[i] >= 0 else None
+            dtype = texts[dtype_ids[i]] if dtype_ids[i] >= 0 else None
+            terms[i] = Literal(texts[i], language=lang, datatype=dtype)
+        # kind 3: aux strings (language tags) — not terms
+
+    return [(terms[s], terms[p], terms[o]) for s, p, o in tri]

@@ -40,9 +40,9 @@ def score(s_idx, p_idx, o_idx, node_embeddings, edge_embeddings):
     return jnp.sum(s * p * o, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("head",))
+@partial(jax.jit, static_argnames=("head", "num_valid"))
 def _chunk_ranks(data, node_embeddings, edge_embeddings, filter_fact,
-                 filter_cand, head: bool):
+                 filter_cand, head: bool, num_valid: Optional[int] = None):
     """Ranks for one chunk of facts, raw and filtered.
 
     ``data``: (F, 3) int32 (padded rows allowed — caller slices results).
@@ -62,6 +62,12 @@ def _chunk_ranks(data, node_embeddings, edge_embeddings, filter_fact,
 
     scores = jnp.dot(part, node_embeddings.T,
                      preferred_element_type=jnp.float32)  # (F, N)
+
+    if num_valid is not None and num_valid < node_embeddings.shape[0]:
+        # mini-batch ranking: rows beyond the batch's real node count are
+        # padding, never candidates
+        col = jnp.arange(node_embeddings.shape[0])[None, :]
+        scores = jnp.where(col < num_valid, scores, -jnp.inf)
 
     true_scores = jnp.take_along_axis(scores, targets[:, None], axis=1)
 
@@ -114,7 +120,8 @@ def _filter_pairs(data: np.ndarray, heads: Dict, tails: Dict,
 
 def compute_ranks(data: np.ndarray, node_embeddings, edge_embeddings,
                   chunk_size: int = 0,
-                  true_facts: Optional[np.ndarray] = None
+                  true_facts: Optional[np.ndarray] = None,
+                  num_valid: Optional[int] = None
                   ) -> Tuple[np.ndarray, np.ndarray]:
     """Raw + filtered ranks for head and tail prediction over all facts.
 
@@ -159,7 +166,8 @@ def compute_ranks(data: np.ndarray, node_embeddings, edge_embeddings,
                     [fc, np.zeros(pad_pairs, dtype=np.int32)])
             raw, flt = _chunk_ranks(
                 jnp.asarray(chunk), node_embeddings, edge_embeddings,
-                jnp.asarray(ff), jnp.asarray(fc), head)
+                jnp.asarray(ff), jnp.asarray(fc), head,
+                num_valid=num_valid)
             raw_out[offset + begin:offset + end] = np.asarray(
                 raw)[:end - begin]
             flt_out[offset + begin:offset + end] = np.asarray(

@@ -10,39 +10,44 @@ list ``(src, dst, rel, norm)``:
 with basis decomposition ``W[r] = sum_b comp[r, b] * basis[b]``
 (reference: layers/graph.py:69-72, 84-85).
 
-Two execution strategies, chosen by static shapes:
+Execution strategies (chosen by static padded sizes; measured on v5e —
+see benchmarks/micro_scan.py):
 
-  * **direct**: precompute ``HW = einsum('ni,bio->bno', H, basis)`` — one big
-    MXU matmul — then gather per-edge rows from the flattened ``(B*n, out)``
-    buffer (the TPU analogue of the reference's hstack trick) and segment-sum
-    into rows. Used when the ``(B, n, out)`` buffer fits the budget and no
-    per-edge basis mixing is needed (``comp is None`` or composed upfront).
-  * **basis-scan**: ``lax.scan`` over bases; per basis one ``(n,in)@(in,out)``
-    matmul + gather + segment-sum, weighting each edge by
-    ``norm_e * comp[rel_e, b]``. Memory is O(E*out) regardless of B.
+  * **direct**: precompute ``HW = einsum('ni,rio->rno', H, W)`` — one big MXU
+    matmul — then one flat gather from ``(R*n, out)`` (the TPU analogue of
+    the reference's hstack trick) + one segment-sum. Used when the padded
+    ``(R*n, out)`` buffer fits the budget.
+  * **fused-basis ("bigmat")**: build ``flat = (n, B*out)`` (one matmul, or a
+    transpose for the identity weights), gather all bases per edge in one
+    shot, contract with the per-edge mixing weights ``comp[rel]*norm`` on the
+    VPU, one segment-sum. 13x faster than a per-basis scan on v5e. When the
+    ``(E, B*out)`` message buffer exceeds the budget, edges are processed in
+    rematerialised chunks under ``lax.scan``.
 
-Both are jit-compatible, statically shaped, and differentiable; padding edges
-(``norm == 0``) contribute nothing.
+All paths are jit-compatible, statically shaped, differentiable; padding
+edges (``norm == 0``, out-of-range ``src``) contribute nothing.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
-# elements allowed for the (B, n, out) direct-path buffer (f32), measured in
-# *padded* elements: TPU tiles f32 as (8, 128), so a minor dim of e.g. 14
-# occupies 128 lanes — a 9x inflation that must enter the budget decision
-DIRECT_BUDGET_ELEMS = 2 ** 27  # 512 MiB
+# budgets in *padded* f32 elements; TPU tiles f32 as (8, 128) so a minor dim
+# of e.g. 14 occupies 128 lanes
+DIRECT_BUDGET_ELEMS = 2 ** 27   # 512 MiB for the (R*n, out) buffer
+MESSAGE_BUDGET_ELEMS = 2 ** 28  # 1 GiB for the (E, B*out) gather buffer
+
+
+def _pad128(x: int) -> int:
+    return -(-x // 128) * 128
 
 
 def _padded_elems(rows: int, minor: int) -> int:
-    pad_minor = -(-minor // 128) * 128
     pad_rows = -(-rows // 8) * 8
-    return pad_rows * pad_minor
+    return pad_rows * _pad128(minor)
 
 
 def segment_sum(messages: jnp.ndarray, src: jnp.ndarray,
@@ -50,20 +55,62 @@ def segment_sum(messages: jnp.ndarray, src: jnp.ndarray,
     return jax.ops.segment_sum(messages, src, num_segments=num_nodes)
 
 
-def _compose(basis: jnp.ndarray, comp: Optional[jnp.ndarray]) -> jnp.ndarray:
-    """``W[r] = sum_b comp[r,b] basis[b]`` (reference: graph.py:84-85)."""
-    if comp is None:
-        return basis
-    return jnp.einsum("rb,bio->rio", comp, basis)
+def _fused_basis_aggregate(flat: jnp.ndarray, src: jnp.ndarray,
+                           dst: jnp.ndarray, rel: jnp.ndarray,
+                           norm: jnp.ndarray, comp: jnp.ndarray,
+                           num_nodes: int, out_dim: int,
+                           budget_elems: int) -> jnp.ndarray:
+    """``out[s] = Σ_e Σ_b (comp[rel_e,b] norm_e) flat[dst_e, b*out:(b+1)*out]``.
+
+    ``flat``: (n_cols, B*out). Chunks the edge dimension when the (E, B*out)
+    gather exceeds the budget; chunk bodies are rematerialised so backward
+    re-gathers instead of storing stacked messages.
+    """
+    E = src.shape[0]
+    B = comp.shape[1]
+
+    def chunk_messages(dst_c, rel_c, norm_c):
+        g = flat[dst_c].reshape(-1, B, out_dim)         # (C, B, out)
+        w = comp[rel_c] * norm_c[:, None]               # (C, B)
+        return jnp.einsum("eb,ebo->eo", w, g)           # (C, out)
+
+    per_edge = _pad128(B * out_dim)
+    chunk = max(8, budget_elems // per_edge)
+    if E <= chunk:
+        return segment_sum(chunk_messages(dst, rel, norm), src, num_nodes)
+
+    num_chunks = -(-E // chunk)
+    pad = num_chunks * chunk - E
+    # padded edges: zero weight, out-of-range src (dropped by segment_sum)
+    src_p = jnp.pad(src, (0, pad), constant_values=num_nodes)
+    dst_p = jnp.pad(dst, (0, pad))
+    rel_p = jnp.pad(rel, (0, pad))
+    norm_p = jnp.pad(norm, (0, pad))
+
+    def reshape(a):
+        return a.reshape(num_chunks, chunk)
+
+    @jax.checkpoint
+    def body(acc, op):
+        src_c, dst_c, rel_c, norm_c = op
+        msgs = chunk_messages(dst_c, rel_c, norm_c)
+        return acc + segment_sum(msgs, src_c, num_nodes), None
+
+    init = jnp.zeros((num_nodes, out_dim), dtype=jnp.float32)
+    acc, _ = jax.lax.scan(body, init, (reshape(src_p), reshape(dst_p),
+                                       reshape(rel_p), reshape(norm_p)))
+    return acc
 
 
 def transform_aggregate(H: jnp.ndarray, src: jnp.ndarray, dst: jnp.ndarray,
                         rel: jnp.ndarray, norm: jnp.ndarray, num_nodes: int,
                         basis: jnp.ndarray,
                         comp: Optional[jnp.ndarray] = None,
-                        budget_elems: int = DIRECT_BUDGET_ELEMS
+                        budget_elems: int = DIRECT_BUDGET_ELEMS,
+                        message_budget_elems: int = MESSAGE_BUDGET_ELEMS
                         ) -> jnp.ndarray:
-    """Dense-feature R-GCN aggregation: ``out[s] = Σ_e norm_e H[dst_e] W[rel_e]``.
+    """Dense-feature R-GCN aggregation:
+    ``out[s] = Σ_e norm_e H[dst_e] W[rel_e]``.
 
     ``H``: (n_cols, in); ``basis``: (B, in, out); ``comp``: (R, B) or None
     (then B == R and relations index the basis directly).
@@ -73,40 +120,29 @@ def transform_aggregate(H: jnp.ndarray, src: jnp.ndarray, dst: jnp.ndarray,
     B, _, out_dim = basis.shape
     R = B if comp is None else comp.shape[0]
 
-    direct_elems = _padded_elems(R * n_cols, out_dim)
-    if direct_elems <= budget_elems:
-        W = _compose(basis, comp)  # (R, in, out)
-        HW = jnp.einsum("ni,rio->rno", H, W,
+    if comp is None and _padded_elems(R * n_cols, out_dim) <= budget_elems:
+        HW = jnp.einsum("ni,rio->rno", H, basis,
                         preferred_element_type=jnp.float32)
         HW_flat = HW.reshape(R * n_cols, out_dim)
         flat_idx = rel.astype(jnp.int32) * n_cols + dst.astype(jnp.int32)
         messages = HW_flat[flat_idx] * norm[:, None]
         return segment_sum(messages, src, num_nodes)
 
-    # basis-scan path: O(E*out) memory, B sequential matmuls. The body is
-    # rematerialised in the backward pass — without checkpoint, scan stacks
-    # the (E, out) per-basis messages across iterations, a (B, E, out)
-    # residual that lane padding inflates ~128/out times.
-    if comp is None:
-        comp = jnp.eye(B, dtype=H.dtype)
-
-    @jax.checkpoint
-    def body(acc, operand):
-        basis_b, comp_b = operand  # (in, out), (R,)
-        HWb = jnp.dot(H, basis_b, preferred_element_type=jnp.float32)
-        coef = norm * comp_b[rel]
-        acc = acc + segment_sum(HWb[dst] * coef[:, None], src, num_nodes)
-        return acc, None
-
-    init = jnp.zeros((num_nodes, out_dim), dtype=jnp.float32)
-    acc, _ = jax.lax.scan(body, init, (basis, comp.T))
-    return acc
+    # fused-basis path: flat = H @ basis laid out (n, B*out)
+    flat = jnp.einsum("ni,bio->nbo", H, basis,
+                      preferred_element_type=jnp.float32)
+    flat = flat.reshape(n_cols, B * out_dim)
+    comp_eff = jnp.eye(B, dtype=H.dtype) if comp is None else comp
+    return _fused_basis_aggregate(flat, src, dst, rel, norm, comp_eff,
+                                  num_nodes, out_dim, message_budget_elems)
 
 
 def gather_aggregate(node_weights: jnp.ndarray, src: jnp.ndarray,
                      dst: jnp.ndarray, rel: jnp.ndarray, norm: jnp.ndarray,
                      num_nodes: int, comp: Optional[jnp.ndarray] = None,
-                     budget_elems: int = DIRECT_BUDGET_ELEMS) -> jnp.ndarray:
+                     budget_elems: int = DIRECT_BUDGET_ELEMS,
+                     message_budget_elems: int = MESSAGE_BUDGET_ELEMS
+                     ) -> jnp.ndarray:
     """Featureless input layer: ``out[s] = Σ_e norm_e W_I[rel_e, dst_e, :]``.
 
     Equivalent to the reference's ``A @ W_I`` against the identity feature
@@ -114,7 +150,6 @@ def gather_aggregate(node_weights: jnp.ndarray, src: jnp.ndarray,
     where S = num_bases or R; ``comp``: (R, S) or None.
     """
     S, n_cols, out_dim = node_weights.shape
-    R = S if comp is None else comp.shape[0]
 
     if comp is None:
         flat = node_weights.reshape(S * n_cols, out_dim)
@@ -122,6 +157,7 @@ def gather_aggregate(node_weights: jnp.ndarray, src: jnp.ndarray,
         messages = flat[flat_idx] * norm[:, None]
         return segment_sum(messages, src, num_nodes)
 
+    R = comp.shape[0]
     if _padded_elems(R * n_cols, out_dim) <= budget_elems:
         W = jnp.einsum("rb,bno->rno", comp, node_weights)
         flat = W.reshape(R * n_cols, out_dim)
@@ -129,19 +165,12 @@ def gather_aggregate(node_weights: jnp.ndarray, src: jnp.ndarray,
         messages = flat[flat_idx] * norm[:, None]
         return segment_sum(messages, src, num_nodes)
 
-    @jax.checkpoint
-    def body(acc, operand):
-        wb, comp_b = operand  # (n_cols, out), (R,)
-        coef = norm * comp_b[rel]
-        acc = acc + segment_sum(wb[dst] * coef[:, None], src, num_nodes)
-        return acc, None
-
-    init = jnp.zeros((num_nodes, out_dim), dtype=jnp.float32)
-    acc, _ = jax.lax.scan(body, init, (node_weights, comp.T))
-    return acc
+    flat = jnp.transpose(node_weights, (1, 0, 2)).reshape(n_cols,
+                                                          S * out_dim)
+    return _fused_basis_aggregate(flat, src, dst, rel, norm, comp,
+                                  num_nodes, out_dim, message_budget_elems)
 
 
-@partial(jax.jit, static_argnames=("num_nodes", "num_relations"))
 def reference_dense_check(H, src, dst, rel, norm, num_nodes, num_relations,
                           W):
     """Slow dense oracle for tests: materialise the reference's hstacked

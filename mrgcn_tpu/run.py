@@ -78,12 +78,16 @@ def main(argv=None) -> int:
     logging.debug("Importing artifact")
     artifact = artifact_io.load(args.input)
 
+    from mrgcn_tpu.utils.profiling import profile_session
+
     task = config["task"]["type"]
     logging.info("Starting %s task", task)
     if task == "node classification":
-        state, epoch, loss, acc, labels, targets = node_classification.run(
-            artifact, config, acc_writer, featureless, test_split,
-            args.load_checkpoint, seed)
+        with profile_session():
+            state, epoch, loss, acc, labels, targets = \
+                node_classification.run(
+                    artifact, config, acc_writer, featureless, test_split,
+                    args.load_checkpoint, seed)
         print(f"loss {loss:.4f} / accuracy {acc:.4f}")
 
         if args.save_output:
@@ -96,9 +100,10 @@ def main(argv=None) -> int:
                                      class_map[int(labels[i])],
                                      class_map[int(targets[i])]])
     elif task == "link prediction":
-        state, epoch, loss, mrr, hits, ranks = link_prediction.run(
-            artifact, config, acc_writer, featureless, test_split,
-            args.load_checkpoint, seed)
+        with profile_session():
+            state, epoch, loss, mrr, hits, ranks = link_prediction.run(
+                artifact, config, acc_writer, featureless, test_split,
+                args.load_checkpoint, seed)
         results_str = (f"Performance on {test_split} set: "
                        f"MRR (raw) {mrr['raw']:.4f} - "
                        f"H@1 {hits['raw'][0]:.4f} / "

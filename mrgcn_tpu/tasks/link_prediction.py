@@ -1,28 +1,33 @@
 """Link prediction: DistMult training + full-entity ranking evaluation.
 
 Counterpart of reference: mrgcn/tasks/link_prediction.py. The training step
-(forward, within-batch negative corruption, BCE, penalties, clip, Adam) is
-one jitted XLA program; ranking evaluation computes node embeddings once and
-scores every (fact, candidate-entity) pair with batched matmuls
+(forward, BCE over positive + corrupted triples, penalties, clip, Adam) is a
+jitted XLA program; ranking evaluation computes node embeddings once per
+batch and scores every (fact, candidate) pair with batched matmuls
 (:mod:`mrgcn_tpu.ops.distmult`).
 
-Parity notes:
-  * negative sampling corrupts 20% of the batch, half heads / half tails,
-    replacements drawn *within batch* (reference: link_prediction.py:246-264);
-  * in test mode train+valid triple splits merge
-    (reference: link_prediction.py:102-108);
-  * evaluation splits facts into ``mrr_batchsize`` groups and averages
-    per-group MRR/hits (reference: link_prediction.py:515-535, 416-420);
-  * filtering uses the evaluated group's own facts as the true set,
-    like the reference's per-batch truedicts
-    (reference: link_prediction.py:595);
+Batching semantics mirror the reference (reference: lp.py:477-548):
+  * ``gcn_batchsize`` slices the *nodes* appearing in the triple split; each
+    slice collects every triple with a batch node as head or tail (triples
+    may appear in <=2 batches);
+  * each slice is sub-split into pairs of at most ``test_batchsize`` triples;
+    in mini-batch mode triple node ids are remapped to batch-local indices
+    and ranking candidates are the batch's nodes only;
+  * scoring inside ranking is chunked by ``mrr_batchsize``
+    (reference: lp.py:618-625); per-pair MRR/hits are averaged over pairs
+    (reference: lp.py:416-420);
+  * negative sampling corrupts 20% of each pair's triples, half heads / half
+    tails, replacements drawn from the pair's own nodes
+    (reference: lp.py:246-264);
+  * in test mode train+valid splits merge (reference: lp.py:102-108);
   * early stopping on ``1 - valid raw MRR`` at eval-interval cadence
-    (reference: link_prediction.py:362-364).
+    (reference: lp.py:362-364).
 """
 
 from __future__ import annotations
 
 import logging
+from dataclasses import dataclass
 from time import time
 from typing import Dict, List, Optional, Tuple
 
@@ -69,40 +74,116 @@ def build_model(inputs: RunInputs, config: Dict) -> MRGCN:
                  text_pad_id=inputs.text_pad_id)
 
 
-def make_train_step(model: MRGCN, optimizer, inputs: RunInputs, config: Dict,
-                    data: np.ndarray, batch_nodes: np.ndarray):
-    """One jitted epoch step: corrupt, score, BCE + penalties, update."""
-    l1 = config["model"]["l1_lambda"]
-    l2 = config["model"]["l2_lambda"]
-    edges, features = inputs.edges, inputs.features
+@dataclass
+class LPBatch:
+    """One (graph slice, triple subset) pair."""
 
-    num_samples = int(data.shape[0])
-    ncorrupt = num_samples // 5  # corrupt 20% (reference: lp.py:248)
+    features: Dict
+    edges: object            # EdgeBlock or tuple of per-layer EdgeBlocks
+    data: np.ndarray         # (m, 3) triple ids (batch-local in minibatch)
+    corrupt_pool: np.ndarray  # node ids to draw corruptions from
+    num_valid: int           # ranking candidate count (graph or batch local)
+
+
+def make_lp_batches(inputs: RunInputs, data: np.ndarray,
+                    gcn_batchsize: int, test_batchsize: int,
+                    num_layers: int) -> List[LPBatch]:
+    """Reference batching (reference: lp.py:477-548)."""
+    sample_nodes = np.union1d(data[:, 0], data[:, 2])
+    num_nodes = len(sample_nodes)
+    if gcn_batchsize <= 0:
+        gcn_batchsize = num_nodes
+    if test_batchsize <= 0:
+        test_batchsize = data.shape[0]
+
+    slices = [slice(b, min(b + gcn_batchsize, num_nodes))
+              for b in range(0, num_nodes, gcn_batchsize)]
+
+    batches: List[LPBatch] = []
+    if len(slices) > 1:
+        from mrgcn_tpu.data import batching
+        index = batching.EdgeIndex(inputs.structure)
+        for slc in slices:
+            batch_node_idx = sample_nodes[slc]
+            mask = (np.isin(data[:, 0], batch_node_idx)
+                    | np.isin(data[:, 2], batch_node_idx))
+            batch_data = data[mask]
+            num_samples = batch_data.shape[0]
+            if num_samples == 0:
+                continue
+            for subset in np.array_split(
+                    np.arange(num_samples),
+                    max(num_samples // test_batchsize, 1)):
+                data_subset = np.copy(batch_data[subset])
+                subset_nodes = np.union1d(data_subset[:, 0],
+                                          data_subset[:, 2]).astype(np.int32)
+                # remap triple node ids to batch-local indices
+                # (reference: lp.py:528-532)
+                local = {v: i for i, v in enumerate(subset_nodes)}
+                data_subset[:, 0] = [local[int(i)]
+                                     for i in data_subset[:, 0]]
+                data_subset[:, 2] = [local[int(i)]
+                                     for i in data_subset[:, 2]]
+
+                mb = batching.sample_minibatch(index, subset_nodes,
+                                               num_layers)
+                feats = batching.subset_features(inputs.features,
+                                                 mb.outer_nodes)
+                batches.append(LPBatch(
+                    features=feats, edges=mb.layer_edges,
+                    data=data_subset.astype(np.int32),
+                    corrupt_pool=np.arange(len(subset_nodes),
+                                           dtype=np.int32),
+                    num_valid=len(subset_nodes)))
+    else:
+        num_samples = data.shape[0]
+        for subset in np.array_split(np.arange(num_samples),
+                                     max(num_samples // test_batchsize, 1)):
+            data_subset = np.copy(data[subset]).astype(np.int32)
+            subset_nodes = np.union1d(data_subset[:, 0],
+                                      data_subset[:, 2]).astype(np.int32)
+            batches.append(LPBatch(
+                features=inputs.features, edges=inputs.edges,
+                data=data_subset, corrupt_pool=subset_nodes,
+                num_valid=inputs.num_nodes))
+    return batches
+
+
+def sample_negatives(rng: np.random.Generator,
+                     batch: LPBatch) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side within-batch corruption (reference: lp.py:246-268).
+    Returns (triples, labels): positives followed by corrupted copies."""
+    data = batch.data
+    num_samples = data.shape[0]
+    ncorrupt = num_samples // 5
+    if ncorrupt == 0:
+        return data, np.ones(num_samples, dtype=np.float32)
+
     nc_head = ncorrupt // 2
     nc_tail = ncorrupt - nc_head
+    pick = rng.choice(num_samples, ncorrupt, replace=False)
+    corrupted = np.copy(data[pick])
+    corrupted[:nc_head, 0] = rng.choice(batch.corrupt_pool, nc_head)
+    corrupted[nc_head:, 2] = rng.choice(batch.corrupt_pool, nc_tail)
 
-    data_dev = jnp.asarray(data, dtype=jnp.int32)
-    nodes_dev = jnp.asarray(batch_nodes, dtype=jnp.int32)
-    labels = jnp.concatenate([jnp.ones(num_samples, dtype=jnp.float32),
-                              jnp.zeros(ncorrupt, dtype=jnp.float32)])
+    triples = np.concatenate([data, corrupted], axis=0)
+    labels = np.concatenate([np.ones(num_samples, dtype=np.float32),
+                             np.zeros(ncorrupt, dtype=np.float32)])
+    return triples, labels
+
+
+def make_steps(model: MRGCN, optimizer, config: Dict):
+    l1 = config["model"]["l1_lambda"]
+    l2 = config["model"]["l2_lambda"]
 
     @jax.jit
-    def train_step(params, batch_stats, opt_state, rng):
-        rng_pick, rng_head, rng_tail, rng_drop = jax.random.split(rng, 4)
-        pick = jax.random.choice(rng_pick, num_samples, (ncorrupt,),
-                                 replace=False)
-        corrupted = data_dev[pick]
-        corrupted = corrupted.at[:nc_head, 0].set(
-            jax.random.choice(rng_head, nodes_dev, (nc_head,)))
-        corrupted = corrupted.at[nc_head:, 2].set(
-            jax.random.choice(rng_tail, nodes_dev, (nc_tail,)))
-        triples = jnp.concatenate([data_dev, corrupted], axis=0)
-
+    def train_step(params, batch_stats, opt_state, features, edges,
+                   triples, labels, rng):
         def loss_fn(p):
             out, updates = model.apply(
                 {"params": p, "batch_stats": batch_stats},
                 features, edges, train=True,
-                rngs={"dropout": rng_drop}, mutable=["batch_stats"])
+                rngs={"dropout": rng}, mutable=["batch_stats"])
             relations = p["rgcn"]["relations"]
             y_hat = distmult.score(triples[:, 0], triples[:, 1],
                                    triples[:, 2], out, relations)
@@ -116,37 +197,28 @@ def make_train_step(model: MRGCN, optimizer, inputs: RunInputs, config: Dict,
         params = optax.apply_updates(params, updates)
         return params, new_stats, opt_state, loss
 
-    return train_step
-
-
-def make_embed_fn(model: MRGCN, inputs: RunInputs):
-    edges, features = inputs.edges, inputs.features
-
     @jax.jit
-    def embed(params, batch_stats):
+    def embed(params, batch_stats, features, edges):
         return model.apply({"params": params, "batch_stats": batch_stats},
                            features, edges, train=False)
 
-    return embed
+    return train_step, embed
 
 
-def evaluate(data: np.ndarray, node_embeddings, relations,
+def evaluate(batches: List[LPBatch], embed_fn, params, batch_stats,
              mrr_batchsize: int, filter_ranks: bool):
-    """Grouped ranking evaluation with the reference's aggregation
+    """Per-pair ranking, averaged over pairs
     (reference: link_prediction.py:375-422)."""
-    num_samples = data.shape[0]
-    if mrr_batchsize <= 0:
-        mrr_batchsize = num_samples
-    groups = np.array_split(np.arange(num_samples),
-                            max(num_samples // mrr_batchsize, 1))
-
+    relations = params["rgcn"]["relations"]
     mrr = {"raw": [], "flt": []}
     hits = {"raw": [[] for _ in K], "flt": [[] for _ in K]}
     rankings = {"raw": [], "flt": []}
-    for group in groups:
-        gdata = data[group]
-        raw, flt = distmult.compute_ranks(gdata, node_embeddings, relations,
-                                          chunk_size=mrr_batchsize)
+
+    for b in batches:
+        emb = embed_fn(params, batch_stats, b.features, b.edges)
+        raw, flt = distmult.compute_ranks(
+            b.data, emb, relations, chunk_size=mrr_batchsize,
+            num_valid=b.num_valid)
         for rank_type, ranks in (("raw", raw), ("flt", flt)):
             if rank_type == "flt" and not filter_ranks:
                 mrr[rank_type].append(-1)
@@ -189,8 +261,8 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
 
     model = build_model(inputs, config)
 
-    rng = jax.random.PRNGKey(seed)
-    rng, init_rng = jax.random.split(rng)
+    jrng = jax.random.PRNGKey(seed)
+    jrng, init_rng = jax.random.split(jrng)
     variables = model.init(init_rng, inputs.features, inputs.edges)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -209,22 +281,29 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
         epoch = state["epoch"]
         print(f" - {epoch} epoch")
 
-    train_data = data["train"]
-    batch_nodes = np.union1d(train_data[:, 0], train_data[:, 2])
-    train_step = make_train_step(model, optimizer, inputs, config,
-                                 train_data, batch_nodes)
-    embed_fn = make_embed_fn(model, inputs)
-
     nepoch = config["model"]["epoch"]
     eval_interval = config["task"]["eval_interval"]
     filter_ranks = config["task"]["filter_ranks"]
-    mrr_batchsize = int(config["task"]["mrr_batchsize"])
+    gcn_batchsize = int(config["task"].get("gcn_batchsize", -1))
+    test_batchsize = int(config["task"].get("test_batchsize", -1))
+    mrr_batchsize = int(config["task"].get("mrr_batchsize", -1))
+    num_layers = len(model.hidden_dims)
     patience = config["task"]["early_stopping"]["patience"]
     tolerance = config["task"]["early_stopping"]["tolerance"]
     early_stop = tutils.EarlyStop(patience, tolerance) \
         if patience > 0 else None
 
-    logger.info("Training for %d epoch", nepoch)
+    train_batches = make_lp_batches(inputs, data["train"], gcn_batchsize,
+                                    test_batchsize, num_layers)
+    valid_batches = make_lp_batches(inputs, data["valid"], gcn_batchsize,
+                                    test_batchsize, num_layers) \
+        if data["valid"] is not None else []
+
+    train_step, embed_fn = make_steps(model, optimizer, config)
+    np_rng = np.random.default_rng(seed)
+
+    logger.info("Training for %d epoch (%d batch(es))", nepoch,
+                len(train_batches))
     t0 = time()
     loss = 0.0
     final_epoch = epoch
@@ -237,26 +316,30 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
             break
         final_epoch = ep
 
-        rng, step_rng = jax.random.split(rng)
-        params, batch_stats, opt_state, loss = train_step(
-            params, batch_stats, opt_state, step_rng)
-        loss = float(loss)
+        losses = []
+        for b in train_batches:
+            triples, labels = sample_negatives(np_rng, b)
+            jrng, step_rng = jax.random.split(jrng)
+            params, batch_stats, opt_state, batch_loss = train_step(
+                params, batch_stats, opt_state, b.features, b.edges,
+                jnp.asarray(triples), jnp.asarray(labels), step_rng)
+            losses.append(float(batch_loss))
+        loss = float(np.mean(losses))
         results_str = f"{ep:04d} | loss {loss:.4f}"
 
         train_mrr = train_hits = valid_mrr = valid_hits = None
         if ep % eval_interval == 0 or ep == nepoch + epoch:
-            emb = embed_fn(params, batch_stats)
-            relations = params["rgcn"]["relations"]
             train_mrr, train_hits, _ = evaluate(
-                train_data, emb, relations, mrr_batchsize, filter_ranks)
+                train_batches, embed_fn, params, batch_stats,
+                mrr_batchsize, filter_ranks)
             results_str += f" | train MRR {train_mrr['raw']:.4f} (raw)"
             if filter_ranks:
                 results_str += f" / {train_mrr['flt']:.4f} (filtered)"
 
-            if data["valid"] is not None and ep < nepoch + epoch:
+            if valid_batches and ep < nepoch + epoch:
                 valid_mrr, valid_hits, _ = evaluate(
-                    data["valid"], emb, relations, mrr_batchsize,
-                    filter_ranks)
+                    valid_batches, embed_fn, params, batch_stats,
+                    mrr_batchsize, filter_ranks)
                 results_str += f" | valid MRR {valid_mrr['raw']:.4f} (raw)"
                 if filter_ranks:
                     results_str += f" / {valid_mrr['flt']:.4f} (filtered)"
@@ -282,10 +365,11 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
 
     # final test evaluation
     t0 = time()
-    emb = embed_fn(params, batch_stats)
-    relations = params["rgcn"]["relations"]
+    test_batches = make_lp_batches(inputs, data[test_split], gcn_batchsize,
+                                   test_batchsize, num_layers)
     test_mrr, test_hits, test_ranks = evaluate(
-        data[test_split], emb, relations, mrr_batchsize, filter_ranks)
+        test_batches, embed_fn, params, batch_stats, mrr_batchsize,
+        filter_ranks)
     logger.info("Testing time: %.2fs", time() - t0)
 
     row = [-1] * 18

@@ -35,15 +35,19 @@ def test_transform_aggregate_matches_dense_oracle():
                                rtol=1e-4, atol=1e-4)
 
 
-def test_transform_aggregate_direct_equals_scan():
+def test_transform_aggregate_paths_agree():
     rng = np.random.default_rng(1)
     src, dst, rel, norm, H, W = _random_graph(rng)
     n = H.shape[0]
     args = (jnp.asarray(H), jnp.asarray(src), jnp.asarray(dst),
             jnp.asarray(rel), jnp.asarray(norm), n, jnp.asarray(W))
     direct = rspmm.transform_aggregate(*args, budget_elems=2 ** 27)
-    scan = rspmm.transform_aggregate(*args, budget_elems=1)
-    np.testing.assert_allclose(np.asarray(direct), np.asarray(scan),
+    fused = rspmm.transform_aggregate(*args, budget_elems=1)
+    chunked = rspmm.transform_aggregate(*args, budget_elems=1,
+                                        message_budget_elems=1)
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(fused),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(chunked),
                                rtol=1e-4, atol=1e-4)
 
 
@@ -59,13 +63,13 @@ def test_transform_aggregate_with_bases():
                                          jnp.asarray(dst), jnp.asarray(rel),
                                          jnp.asarray(norm), n, R,
                                          jnp.asarray(W))
-    for budget in (2 ** 27, 1):  # direct and scan paths
+    for msg_budget in (2 ** 28, 1):  # one-shot and edge-chunked paths
         out = rspmm.transform_aggregate(jnp.asarray(H), jnp.asarray(src),
                                         jnp.asarray(dst), jnp.asarray(rel),
                                         jnp.asarray(norm), n,
                                         jnp.asarray(basis),
                                         comp=jnp.asarray(comp),
-                                        budget_elems=budget)
+                                        message_budget_elems=msg_budget)
         np.testing.assert_allclose(np.asarray(out), np.asarray(oracle),
                                    rtol=1e-3, atol=1e-3)
 
@@ -103,12 +107,13 @@ def test_gather_aggregate_with_bases_matches_composed():
     oracle = rspmm.gather_aggregate(jnp.asarray(composed), jnp.asarray(src),
                                     jnp.asarray(dst), jnp.asarray(rel),
                                     jnp.asarray(norm), n)
-    for budget in (2 ** 27, 1):
+    for budget, msg_budget in ((2 ** 27, 2 ** 28), (1, 2 ** 28), (1, 1)):
         out = rspmm.gather_aggregate(jnp.asarray(basis), jnp.asarray(src),
                                      jnp.asarray(dst), jnp.asarray(rel),
                                      jnp.asarray(norm), n,
                                      comp=jnp.asarray(comp),
-                                     budget_elems=budget)
+                                     budget_elems=budget,
+                                     message_budget_elems=msg_budget)
         np.testing.assert_allclose(np.asarray(out), np.asarray(oracle),
                                    rtol=1e-4, atol=1e-4)
 

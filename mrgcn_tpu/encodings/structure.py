@@ -25,7 +25,9 @@ Semantics preserved exactly:
 from __future__ import annotations
 
 import logging
+import os
 from dataclasses import dataclass, field
+from multiprocessing import Pool
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -96,35 +98,36 @@ def generate(kg: KnowledgeGraph, config: dict) -> Tuple[GraphStructure,
 
     included = [p for p in properties if str(p) not in exclude_properties
                 and p not in exclude_properties]
+    included_rank = {p: k for k, p in enumerate(included)}
     rel_stride = 2 if include_inverse else 1
     num_relations = len(included) * rel_stride + 1  # + self-loop identity
 
     logger.debug("Generating %d relation partitions over %d nodes",
                  num_relations, num_nodes)
 
-    # Gather edges per included property, in sorted-property order.
+    # Single pass over the triples: map to (s, k, o) index rows, then group
+    # per relation with numpy. (The reference re-scans the whole graph once
+    # per property — reference: graph_structure.py:78-91 — and offers a
+    # multiprocessing pool to compensate; one pass makes that moot, but the
+    # mapping stage still honours the config flag.)
+    use_mp = bool(structural.get("multiprocessing", False))
+    s_idx, k_idx, o_idx = _index_triples(kg, nodes_map, included_rank,
+                                         separate_literals, use_mp)
+
     src_parts: List[np.ndarray] = []
     dst_parts: List[np.ndarray] = []
     rel_parts: List[np.ndarray] = []
-    for k, prop in enumerate(included):
-        pairs = [(nodes_map[s], nodes_map[o])
-                 for s, _, o in kg.triples((None, prop, None),
-                                           separate_literals)]
-        if not pairs:
-            continue
-        rows = np.fromiter((r for r, _ in pairs), dtype=np.int32,
-                           count=len(pairs))
-        cols = np.fromiter((c for _, c in pairs), dtype=np.int32,
-                           count=len(pairs))
-
-        src_parts.append(rows)
-        dst_parts.append(cols)
-        rel_parts.append(np.full(rows.shape, k * rel_stride, dtype=np.int32))
+    if len(s_idx):
+        order = np.argsort(k_idx, kind="stable")
+        s_sorted, k_sorted, o_sorted = s_idx[order], k_idx[order], \
+            o_idx[order]
+        src_parts.append(s_sorted)
+        dst_parts.append(o_sorted)
+        rel_parts.append(k_sorted * rel_stride)
         if include_inverse:
-            src_parts.append(cols)
-            dst_parts.append(rows)
-            rel_parts.append(np.full(rows.shape, k * rel_stride + 1,
-                                     dtype=np.int32))
+            src_parts.append(o_sorted)
+            dst_parts.append(s_sorted)
+            rel_parts.append(k_sorted * rel_stride + 1)
 
     # Self-loop identity relation, normalised weight 1
     # (reference: graph_structure.py:33-35).
@@ -144,6 +147,44 @@ def generate(kg: KnowledgeGraph, config: dict) -> Tuple[GraphStructure,
                                nodes_map=nodes_map,
                                properties_map=properties_map)
     return structure, nodes_map, properties_map
+
+
+def _map_chunk(args):
+    """Worker: map a chunk of triples to index rows (module-level for
+    pickling)."""
+    chunk, nodes_map, included_rank = args
+    rows = [(nodes_map[s], included_rank[p], nodes_map[o])
+            for s, p, o in chunk if p in included_rank]
+    return rows
+
+
+def _index_triples(kg: KnowledgeGraph, nodes_map: Dict, included_rank: Dict,
+                   separate_literals: bool, use_mp: bool):
+    """One pass: triples -> (s_idx, prop_rank, o_idx) int32 arrays.
+
+    ``use_mp`` fans the dictionary-lookup stage over a process pool
+    (capability parity with reference: graph_structure.py:110-134); the
+    single-process path is already one linear scan.
+    """
+    triples = list(kg.triples(separate_literals=separate_literals))
+
+    nproc = len(os.sched_getaffinity(0))
+    if use_mp and nproc > 1 and len(triples) > 10_000:
+        chunksize = -(-len(triples) // nproc)
+        chunks = [(triples[i:i + chunksize], nodes_map, included_rank)
+                  for i in range(0, len(triples), chunksize)]
+        with Pool(processes=nproc) as pool:
+            rows = [r for part in pool.imap(_map_chunk, chunks)
+                    for r in part]
+    else:
+        rows = [(nodes_map[s], included_rank[p], nodes_map[o])
+                for s, p, o in triples if p in included_rank]
+
+    if not rows:
+        empty = np.empty(0, dtype=np.int32)
+        return empty, empty, empty
+    arr = np.asarray(rows, dtype=np.int32)
+    return arr[:, 0], arr[:, 1], arr[:, 2]
 
 
 def compute_norm(src: np.ndarray, rel: np.ndarray, num_nodes: int,

@@ -1,0 +1,106 @@
+"""Trainer utilities: regularisation mask, optimizer groups, early stop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from mrgcn_tpu.tasks import utils as tutils
+
+
+PARAMS = {
+    "rgcn": {"layer_0": {"weight_i": jnp.ones((2, 3, 4)),
+                         "comp_i": jnp.ones((5, 2)),
+                         "bias": jnp.ones(4)},
+             "relations": jnp.ones((5, 4))},
+    "xsd_numeric_0": {"Dense_0": {"kernel": jnp.ones((3, 4)),
+                                  "bias": jnp.ones(4)}},
+    "gate_weights": jnp.full((2,), 0.1),
+}
+
+
+def test_regularization_includes_weightlike_only():
+    # included: weight_i (24), comp_i (10), kernel (12), gate_weights (0.2)
+    # excluded: biases, relations
+    l1 = float(tutils.regularization(PARAMS, 1.0, 0.0))
+    assert l1 == pytest.approx(24 + 10 + 12 + 0.2)
+
+
+def test_regularization_zero_lambdas():
+    assert float(tutils.regularization(PARAMS, 0.0, 0.0)) == 0.0
+
+
+def test_param_labels_and_groups():
+    config = {"model": {"learning_rate": 0.01, "weight_decay": 0.0}}
+    optimizer_config = {"gate_weights": {"lr": 0.5},
+                        "xsd.numeric": {"lr": 0.001, "momentum": 0.1}}
+    opt = tutils.build_optimizer(PARAMS, config, optimizer_config,
+                                 featureless=False)
+    state = opt.init(PARAMS)
+    grads = jax.tree.map(jnp.ones_like, PARAMS)
+    updates, _ = opt.update(grads, state, PARAMS)
+    # gates get lr 0.5, default 0.01, xsd.numeric 0.001 -> update magnitudes
+    # reflect the group lrs (adam of constant grad -> ~lr)
+    gate_mag = float(jnp.abs(updates["gate_weights"]).mean())
+    default_mag = float(jnp.abs(
+        updates["rgcn"]["layer_0"]["weight_i"]).mean())
+    enc_mag = float(jnp.abs(
+        updates["xsd_numeric_0"]["Dense_0"]["kernel"]).mean())
+    assert gate_mag == pytest.approx(0.5, rel=0.05)
+    assert default_mag == pytest.approx(0.01, rel=0.05)
+    assert enc_mag == pytest.approx(0.001, rel=0.05)
+
+
+def test_optimizer_featureless_no_gates_group():
+    config = {"model": {"learning_rate": 0.01, "weight_decay": 0.0}}
+    opt = tutils.build_optimizer(PARAMS, config, {}, featureless=True)
+    # must initialise and update without error
+    state = opt.init(PARAMS)
+    grads = jax.tree.map(jnp.ones_like, PARAMS)
+    opt.update(grads, state, PARAMS)
+
+
+def test_early_stop_delay_and_patience():
+    es = tutils.EarlyStop(patience=2, tolerance=0.0, delay=3)
+    state = {"w": np.ones(1)}
+    for _ in range(3):  # warm-up: nothing recorded
+        es.record(1.0, state)
+    assert es.best_state is None and not es.stop
+
+    es.record(1.0, state)          # first real -> best
+    assert es.best_score == 1.0
+    es.record(0.5, {"w": np.full(1, 2.0)})  # improves -> reset
+    assert es.best_score == 0.5
+    es.record(0.6, state)          # worse
+    es.record(0.7, state)          # worse again -> patience exhausted
+    assert es.stop
+    assert es.best_state["w"][0] == 2.0
+
+
+def test_early_stop_tolerance_requires_margin():
+    es = tutils.EarlyStop(patience=5, tolerance=0.1, delay=0)
+    es.record(1.0, {})
+    es.record(0.95, {})  # within tolerance -> not an improvement
+    assert es.best_score == 1.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    path = str(tmp_path / "ckpt.pkl")
+    params = {"a": np.arange(3.0)}
+    opt_state = optax.adam(0.1).init(params)
+    tutils.save_checkpoint(path, 7, params, opt_state, {}, 0.5)
+    state = tutils.load_checkpoint(path)
+    assert state["epoch"] == 7
+    assert state["loss"] == 0.5
+    np.testing.assert_array_equal(state["params"]["a"], [0, 1, 2])
+
+
+def test_config_defaults():
+    from mrgcn_tpu.config import apply_defaults
+    cfg = apply_defaults({"graph": {"features": [
+        {"datatype": "xsd.boolean", "include": True}]}})
+    # the missing-embedding_dim defect in shipped configs is guarded
+    assert cfg["graph"]["features"][0]["embedding_dim"] == 16
+    assert cfg["model"]["num_bases"] == 0
+    assert cfg["task"]["early_stopping"]["patience"] == -1

@@ -39,11 +39,22 @@ def run_jax_epochs(w, steps: int = 10) -> float:
     n, R, B = w["n"], w["R"], w["num_bases"]
     hidden, C = w["hidden"], w["num_classes"]
 
+    from mrgcn_tpu.encodings.structure import group_by_relation
+    grouping = group_by_relation(
+        np.asarray(w["src"], dtype=np.int32),
+        np.asarray(w["dst"], dtype=np.int32),
+        np.asarray(w["rel"], dtype=np.int32),
+        np.asarray(w["norm"], dtype=np.float32), n)
     edges = EdgeBlock(src=jnp.asarray(w["src"], dtype=jnp.int32),
                       dst=jnp.asarray(w["dst"], dtype=jnp.int32),
                       rel=jnp.asarray(w["rel"], dtype=jnp.int32),
                       norm=jnp.asarray(w["norm"]),
-                      num_out=n)
+                      num_out=n,
+                      grp_src=jnp.asarray(grouping.src),
+                      grp_dst=jnp.asarray(grouping.dst),
+                      grp_norm=jnp.asarray(grouping.norm),
+                      group_rel=jnp.asarray(grouping.group_rel),
+                      group_size=grouping.group_size)
 
     model = RGCN(hidden_dims=(hidden, C), num_relations=R, num_nodes=n,
                  num_bases=B, featureless=True)

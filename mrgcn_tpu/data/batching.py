@@ -117,11 +117,31 @@ def sample_minibatch(index: EdgeIndex, batch_nodes: np.ndarray,
             norm = np.concatenate(
                 [norm, np.zeros(pad, dtype=np.float32)])
 
+        from mrgcn_tpu.encodings.structure import group_by_relation
+        grouping = group_by_relation(
+            src_local[:len(eids)], dst_local[:len(eids)],
+            index.rel[eids], norm[:len(eids)], n_out, group_size=64)
+        # bucket the group count so batch shapes repeat
+        G = _bucket(grouping.num_groups, 4)
+        gpad = G - grouping.num_groups
         layers.append(EdgeBlock(
             src=jnp.asarray(src_local), dst=jnp.asarray(dst_local),
             rel=jnp.asarray(rel), norm=jnp.asarray(norm),
             num_out=n_out, num_in=n_in,
-            dst_global=jnp.asarray(dst_global)))
+            dst_global=jnp.asarray(dst_global),
+            grp_src=jnp.asarray(np.concatenate(
+                [grouping.src,
+                 np.full(gpad * grouping.group_size, n_out,
+                         dtype=np.int32)])),
+            grp_dst=jnp.asarray(np.concatenate(
+                [grouping.dst,
+                 np.zeros(gpad * grouping.group_size, dtype=np.int32)])),
+            grp_norm=jnp.asarray(np.concatenate(
+                [grouping.norm,
+                 np.zeros(gpad * grouping.group_size, dtype=np.float32)])),
+            group_rel=jnp.asarray(np.concatenate(
+                [grouping.group_rel, np.zeros(gpad, dtype=np.int32)])),
+            group_size=grouping.group_size))
 
     return MiniBatch(layer_edges=tuple(layers),
                      batch_nodes=batch_nodes,

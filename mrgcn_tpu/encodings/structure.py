@@ -196,6 +196,64 @@ def compute_norm(src: np.ndarray, rel: np.ndarray, num_nodes: int,
     return (1.0 / degree[key]).astype(np.float32)
 
 
+@dataclass
+class RelationGrouping:
+    """Edges reordered by relation and padded so every fixed-size group of
+    ``group_size`` consecutive edges shares one relation.
+
+    Lets the dense-feature R-GCN layer run as a batched MXU matmul —
+    ``H[dst]`` gathered per group (``E * in`` bytes instead of the fused
+    path's ``E * B * out``), multiplied by the group's composed weight
+    (see :func:`mrgcn_tpu.ops.rspmm.transform_aggregate_grouped`).
+    Padding slots carry ``norm == 0`` and scatter out of range.
+    """
+
+    src: np.ndarray        # (E',) int32, E' = num_groups * group_size
+    dst: np.ndarray        # (E',) int32
+    norm: np.ndarray       # (E',) float32 (0 on padding)
+    group_rel: np.ndarray  # (num_groups,) int32 — relation of each group
+    group_size: int
+
+    @property
+    def num_groups(self) -> int:
+        return len(self.group_rel)
+
+
+def group_by_relation(src: np.ndarray, dst: np.ndarray, rel: np.ndarray,
+                      norm: np.ndarray, num_out: int,
+                      group_size: int = 128) -> RelationGrouping:
+    """Sort edges by relation; pad each relation's run to a multiple of
+    ``group_size``."""
+    order = np.argsort(rel, kind="stable")
+    src, dst, rel, norm = src[order], dst[order], rel[order], norm[order]
+
+    rels, counts = np.unique(rel, return_counts=True)
+    out_src: List[np.ndarray] = []
+    out_dst: List[np.ndarray] = []
+    out_norm: List[np.ndarray] = []
+    group_rel: List[np.ndarray] = []
+
+    start = 0
+    for r, count in zip(rels, counts):
+        stop = start + int(count)
+        padded = -(-int(count) // group_size) * group_size
+        pad = padded - int(count)
+        out_src.append(src[start:stop])
+        out_dst.append(dst[start:stop])
+        out_norm.append(norm[start:stop])
+        if pad:
+            out_src.append(np.full(pad, num_out, dtype=np.int32))  # dropped
+            out_dst.append(np.zeros(pad, dtype=np.int32))
+            out_norm.append(np.zeros(pad, dtype=np.float32))
+        group_rel.append(np.full(padded // group_size, r, dtype=np.int32))
+        start = stop
+
+    return RelationGrouping(
+        src=np.concatenate(out_src), dst=np.concatenate(out_dst),
+        norm=np.concatenate(out_norm),
+        group_rel=np.concatenate(group_rel), group_size=group_size)
+
+
 def pad_edges(structure: GraphStructure,
               multiple: int = 1024) -> GraphStructure:
     """Pad edge arrays to a multiple so recompilation is avoided across

@@ -109,11 +109,22 @@ class MRGCN(nn.Module):
                 encoders[name] = MLP(output_dim=dim_out, num_layers=2,
                                      p_dropout=dropout, name=name)
             elif datatype in _TEXT:
-                _, dim_out, dropout = args
-                encoders[name] = TextEncoder(
-                    output_dim=dim_out, p_dropout=dropout,
-                    vocab_size=self.text_vocab_size,
-                    pad_id=self.text_pad_id, name=name)
+                model_cfg, dim_out, dropout = args
+                backbone = None
+                if model_cfg:
+                    from mrgcn_tpu.models.pretrained import (
+                        PretrainedTextEncoder, load_text_backbone)
+                    backbone = load_text_backbone(model_cfg)
+                if backbone is not None:
+                    module, frozen_params = backbone
+                    encoders[name] = PretrainedTextEncoder(
+                        backbone=module, backbone_params=frozen_params,
+                        output_dim=dim_out, p_dropout=dropout, name=name)
+                else:
+                    encoders[name] = TextEncoder(
+                        output_dim=dim_out, p_dropout=dropout,
+                        vocab_size=self.text_vocab_size,
+                        pad_id=self.text_pad_id, name=name)
             elif datatype == "ogc.wktLiteral":
                 _, dim_out, size, dropout = args
                 encoders[name] = TCNN(output_dim=dim_out, size=size,

@@ -41,10 +41,21 @@ class EdgeBlock:
     num_out: int = struct.field(pytree_node=False)
     num_in: Optional[int] = struct.field(pytree_node=False, default=None)
     dst_global: Optional[jnp.ndarray] = None
+    # relation-grouped layout (see structure.group_by_relation) — the fast
+    # MXU path for dense-feature layers; None falls back to the fused path
+    grp_src: Optional[jnp.ndarray] = None
+    grp_dst: Optional[jnp.ndarray] = None
+    grp_norm: Optional[jnp.ndarray] = None
+    group_rel: Optional[jnp.ndarray] = None
+    group_size: Optional[int] = struct.field(pytree_node=False, default=None)
 
     @property
     def identity_dst(self) -> jnp.ndarray:
         return self.dst if self.dst_global is None else self.dst_global
+
+    @property
+    def grouped(self) -> bool:
+        return self.group_rel is not None
 
 
 class RGCNLayer(nn.Module):
@@ -103,9 +114,15 @@ class RGCNLayer(nn.Module):
 
         weight_f = self.param("weight_f", tinit.xavier_uniform(),
                               (S, H.shape[-1], self.out_dim))
-        out = out + rspmm.transform_aggregate(
-            H, edges.src, edges.dst, edges.rel, edges.norm, edges.num_out,
-            weight_f, comp=comp_f)
+        if edges.grouped:
+            out = out + rspmm.transform_aggregate_grouped(
+                H, edges.grp_src, edges.grp_dst, edges.grp_norm,
+                edges.group_rel, edges.group_size, edges.num_out,
+                weight_f, comp=comp_f)
+        else:
+            out = out + rspmm.transform_aggregate(
+                H, edges.src, edges.dst, edges.rel, edges.norm,
+                edges.num_out, weight_f, comp=comp_f)
 
         if self.use_bias:
             out = out + self.param("bias", nn.initializers.zeros,

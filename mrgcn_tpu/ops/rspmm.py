@@ -137,6 +137,44 @@ def transform_aggregate(H: jnp.ndarray, src: jnp.ndarray, dst: jnp.ndarray,
                                   num_nodes, out_dim, message_budget_elems)
 
 
+def transform_aggregate_grouped(H: jnp.ndarray, grp_src: jnp.ndarray,
+                                grp_dst: jnp.ndarray, grp_norm: jnp.ndarray,
+                                group_rel: jnp.ndarray, group_size: int,
+                                num_nodes: int, basis: jnp.ndarray,
+                                comp: Optional[jnp.ndarray] = None
+                                ) -> jnp.ndarray:
+    """Relation-grouped dense aggregation — the fast path for feature layers.
+
+    Edges are pre-sorted by relation and padded so each consecutive group of
+    ``group_size`` edges shares a relation (see
+    :func:`mrgcn_tpu.encodings.structure.group_by_relation`). Per group the
+    gathered inputs ``(group_size, in)`` hit the MXU against the group's
+    composed weight ``(in, out)`` as one batched matmul; total gather traffic
+    is ``E * in`` bytes versus the fused path's ``E * B * out`` —
+    40x less on a DMG-scale layer (benchmarks/micro_grouped.py).
+    """
+    W = _compose_weights(basis, comp)          # (R, in, out) — always small
+    G = group_rel.shape[0]
+    in_dim = H.shape[-1]
+    out_dim = W.shape[-1]
+
+    Hg = H[grp_dst].reshape(G, group_size, in_dim)
+    Wg = W[group_rel]                          # (G, in, out)
+    m = jax.lax.dot_general(
+        Hg, Wg, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)     # (G, group_size, out)
+    messages = m.reshape(G * group_size, out_dim) * grp_norm[:, None]
+    return segment_sum(messages, grp_src, num_nodes)
+
+
+def _compose_weights(basis: jnp.ndarray,
+                     comp: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """``W[r] = sum_b comp[r,b] basis[b]`` (reference: graph.py:84-85)."""
+    if comp is None:
+        return basis
+    return jnp.einsum("rb,bio->rio", comp, basis)
+
+
 def gather_aggregate(node_weights: jnp.ndarray, src: jnp.ndarray,
                      dst: jnp.ndarray, rel: jnp.ndarray, norm: jnp.ndarray,
                      num_nodes: int, comp: Optional[jnp.ndarray] = None,

@@ -95,11 +95,19 @@ def prepare_inputs(artifact: Artifact, config: Dict,
         features[name] = (data, jnp.asarray(np.asarray(node_idx),
                                             dtype=jnp.int32))
 
+    from mrgcn_tpu.encodings.structure import group_by_relation
+    grouping = group_by_relation(structure.src, structure.dst,
+                                 structure.rel, structure.norm, n)
     edges = EdgeBlock(src=jnp.asarray(structure.src),
                       dst=jnp.asarray(structure.dst),
                       rel=jnp.asarray(structure.rel),
                       norm=jnp.asarray(structure.norm),
-                      num_out=n)
+                      num_out=n,
+                      grp_src=jnp.asarray(grouping.src),
+                      grp_dst=jnp.asarray(grouping.dst),
+                      grp_norm=jnp.asarray(grouping.norm),
+                      group_rel=jnp.asarray(grouping.group_rel),
+                      group_size=grouping.group_size)
 
     return RunInputs(edges=edges, features=features,
                      modules_config=tuple(modules_config),

@@ -210,3 +210,45 @@ def test_score_shape():
     expected = np.sum(E_nodes[[0, 1]] * E_edges[[0, 1]] * E_nodes[[2, 3]],
                       axis=-1)
     np.testing.assert_allclose(np.asarray(s), expected, rtol=1e-5)
+
+
+def test_grouped_transform_matches_fused():
+    from mrgcn_tpu.encodings.structure import group_by_relation
+
+    rng = np.random.default_rng(8)
+    src, dst, rel, norm, H, W = _random_graph(rng)
+    n = H.shape[0]
+
+    fused = rspmm.transform_aggregate(jnp.asarray(H), jnp.asarray(src),
+                                      jnp.asarray(dst), jnp.asarray(rel),
+                                      jnp.asarray(norm), n, jnp.asarray(W))
+    g = group_by_relation(src, dst, rel, norm, n, group_size=16)
+    grouped = rspmm.transform_aggregate_grouped(
+        jnp.asarray(H), jnp.asarray(g.src), jnp.asarray(g.dst),
+        jnp.asarray(g.norm), jnp.asarray(g.group_rel), g.group_size, n,
+        jnp.asarray(W))
+    np.testing.assert_allclose(np.asarray(grouped), np.asarray(fused),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_grouped_transform_with_bases():
+    from mrgcn_tpu.encodings.structure import group_by_relation
+
+    rng = np.random.default_rng(9)
+    src, dst, rel, norm, H, _ = _random_graph(rng)
+    n, R, B = H.shape[0], 5, 3
+    basis = rng.standard_normal((B, H.shape[1], 11)).astype(np.float32)
+    comp = rng.standard_normal((R, B)).astype(np.float32)
+
+    W = np.einsum("rb,bio->rio", comp, basis)
+    oracle = rspmm.reference_dense_check(jnp.asarray(H), jnp.asarray(src),
+                                         jnp.asarray(dst), jnp.asarray(rel),
+                                         jnp.asarray(norm), n, R,
+                                         jnp.asarray(W))
+    g = group_by_relation(src, dst, rel, norm, n, group_size=16)
+    grouped = rspmm.transform_aggregate_grouped(
+        jnp.asarray(H), jnp.asarray(g.src), jnp.asarray(g.dst),
+        jnp.asarray(g.norm), jnp.asarray(g.group_rel), g.group_size, n,
+        jnp.asarray(basis), comp=jnp.asarray(comp))
+    np.testing.assert_allclose(np.asarray(grouped), np.asarray(oracle),
+                               rtol=1e-3, atol=1e-3)

@@ -408,6 +408,31 @@ def merge_image_sets(encoding_sets: List) -> List:
              -np.ones(N, dtype=np.float32)]]
 
 
+def stack_encoding_sets(encoding_sets: List) -> List:
+    """Horizontal-stack merge alternative: per-predicate dense blocks placed
+    side by side, rows aligned by node (reference: graph_features.py:527-558).
+    Zero-fills predicates a node lacks."""
+    if len(encoding_sets) <= 1:
+        return encoding_sets
+
+    node_idx = np.concatenate([idx for _, idx, _ in encoding_sets])
+    uniq = np.unique(node_idx)
+    N = uniq.shape[0]
+    M = sum(enc.shape[1] for enc, _, _ in encoding_sets)
+
+    merged = np.zeros((N, M), dtype=np.float32)
+    pos = {v: i for i, v in enumerate(uniq)}
+    col = 0
+    for enc, node_index, _ in encoding_sets:
+        width = enc.shape[1]
+        for k in range(len(node_index)):
+            merged[pos[node_index[k]], col:col + width] = enc[k]
+        col += width
+
+    return [[merged, uniq.astype(np.int32),
+             np.full(N, M, dtype=np.float32)]]
+
+
 # ---------------------------------------------------------------------------
 # noise & outliers (reference: graph_features.py:560-668)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,165 @@
+"""Pallas TPU kernels for the relational aggregation hot path.
+
+``mix_segment_sum`` fuses the two post-gather stages of the fused-basis
+aggregation (see :func:`mrgcn_tpu.ops.rspmm._fused_basis_aggregate`):
+
+    msgs[e] = sum_b W[e, b] * G[e, b*out:(b+1)*out]       (VPU mix)
+    out[s] += msgs[e]  for src_e == s                      (MXU scatter)
+
+into one pass over the gathered buffer ``G`` — XLA's lowering materialises
+the intermediate ``msgs`` (lane-padded to 128) and re-reads ``G``; the kernel
+reads each ``G`` block once and accumulates the output row-block in VMEM.
+
+The scatter uses the one-hot-matmul trick: within an edge block all edges
+target one output row-block (host-side preparation splits the src-sorted
+edge stream at row-block boundaries), so ``out_block += onehot(local_src)^T
+@ msgs`` runs on the MXU instead of a serial per-row scatter.
+
+TPU grids execute sequentially on a core, and the output BlockSpec's index
+map reads the scalar-prefetched ``row_block`` table, so revisited blocks
+stay resident in VMEM and are flushed exactly once.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EDGE_BLOCK = 512
+ROW_BLOCK = 1024
+
+
+def prepare_blocks(src_sorted: np.ndarray, num_nodes: int,
+                   edge_block: int = EDGE_BLOCK,
+                   row_block: int = ROW_BLOCK
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side: split the src-sorted edge stream at row-block boundaries
+    and pad each segment to a multiple of ``edge_block``.
+
+    Returns ``(perm, local_src, row_block_idx)`` where ``perm`` maps padded
+    slots to original edge positions (-1 on padding), ``local_src`` is the
+    row within the slot's output block, and ``row_block_idx`` is the output
+    block per edge block.
+    """
+    E = len(src_sorted)
+    block_of_edge = src_sorted // row_block
+
+    perm_parts = []
+    local_parts = []
+    row_blocks = []
+    start = 0
+    boundaries = np.flatnonzero(np.diff(block_of_edge)) + 1
+    segments = np.split(np.arange(E), boundaries)
+    for seg in segments:
+        if len(seg) == 0:
+            continue
+        rb = int(block_of_edge[seg[0]])
+        padded = -(-len(seg) // edge_block) * edge_block
+        pad = padded - len(seg)
+        perm_parts.append(seg)
+        local_parts.append(src_sorted[seg] - rb * row_block)
+        if pad:
+            perm_parts.append(np.full(pad, -1, dtype=np.int64))
+            # padding rows point at local row `row_block` -> masked out
+            local_parts.append(np.full(pad, row_block, dtype=np.int64))
+        row_blocks.extend([rb] * (padded // edge_block))
+
+    perm = np.concatenate(perm_parts).astype(np.int32)
+    local_src = np.concatenate(local_parts).astype(np.int32)
+    return perm, local_src, np.asarray(row_blocks, dtype=np.int32)
+
+
+def _kernel(row_block_ref,              # scalar-prefetch: (num_blocks,)
+            g_ref, w_ref, local_ref,    # (EB, D), (EB, B), (EB, 1)
+            out_ref,                    # (RB, out)
+            *, num_bases: int, out_dim: int, row_block: int):
+    i = pl.program_id(0)
+
+    is_first = i == 0
+    same_as_prev = jnp.where(
+        i > 0, row_block_ref[jnp.maximum(i - 1, 0)] == row_block_ref[i],
+        False)
+
+    @pl.when(jnp.logical_or(is_first, jnp.logical_not(same_as_prev)))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    eb = g_ref.shape[0]
+    g = g_ref[:].reshape(eb, num_bases, out_dim)
+    msgs = jnp.einsum("eb,ebo->eo", w_ref[:], g,
+                      preferred_element_type=jnp.float32)   # (EB, out)
+
+    local = local_ref[:]                                    # (EB, 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (eb, row_block), 1)
+    onehot = (rows == local).astype(jnp.float32)            # (EB, RB)
+    out_ref[:] += jax.lax.dot_general(
+        onehot, msgs, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (RB, out)
+
+
+def mix_segment_sum(G: jnp.ndarray, W: jnp.ndarray, local_src: jnp.ndarray,
+                    row_block_idx: jnp.ndarray, num_nodes: int,
+                    out_dim: int, edge_block: int = EDGE_BLOCK,
+                    row_block: int = ROW_BLOCK,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Fused mix + segmented scatter. ``G``: (E_pad, B*out) gathered rows in
+    block order (from :func:`prepare_blocks`); ``W``: (E_pad, B);
+    ``local_src``: (E_pad,) int32; ``row_block_idx``: (num_blocks,) int32.
+    Returns (num_row_blocks * row_block, out) — slice to ``num_nodes``.
+    """
+    E_pad, D = G.shape
+    B = W.shape[1]
+    num_blocks = E_pad // edge_block
+    n_pad = (-(-num_nodes // row_block)) * row_block
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((edge_block, D), lambda i, rb: (i, 0)),
+            pl.BlockSpec((edge_block, B), lambda i, rb: (i, 0)),
+            pl.BlockSpec((edge_block, 1), lambda i, rb: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((row_block, out_dim),
+                               lambda i, rb: (rb[i], 0)),
+    )
+
+    kernel = partial(_kernel, num_bases=B, out_dim=out_dim,
+                     row_block=row_block)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, out_dim), jnp.float32),
+        interpret=interpret,
+    )(row_block_idx, G, W, local_src.reshape(-1, 1))
+    return out[:num_nodes]
+
+
+def fused_gather_aggregate_pallas(flat: jnp.ndarray, src_sorted, dst_sorted,
+                                  rel_sorted, norm_sorted, comp,
+                                  perm, local_src, row_block_idx,
+                                  num_nodes: int, out_dim: int,
+                                  edge_block: int = EDGE_BLOCK,
+                                  row_block: int = ROW_BLOCK,
+                                  interpret: bool = False) -> jnp.ndarray:
+    """End-to-end fused-basis aggregation with the Pallas mix+scatter.
+
+    Host must pre-sort edges by ``src`` and run :func:`prepare_blocks`.
+    The gather itself stays in XLA (efficient there); ``perm`` reorders the
+    sorted edges into padded block order (-1 slots become zero rows).
+    """
+    safe_perm = jnp.maximum(perm, 0)
+    valid = (perm >= 0).astype(jnp.float32)
+
+    G = flat[dst_sorted[safe_perm]]                  # (E_pad, B*out)
+    W = comp[rel_sorted[safe_perm]] * (norm_sorted[safe_perm]
+                                       * valid)[:, None]
+    return mix_segment_sum(G, W, local_src, row_block_idx, num_nodes,
+                           out_dim, edge_block=edge_block,
+                           row_block=row_block, interpret=interpret)

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import logging
 from dataclasses import dataclass
+from functools import partial
 from time import time
 from typing import Dict, List, Optional, Tuple
 
@@ -176,7 +177,8 @@ def make_steps(model: MRGCN, optimizer, config: Dict):
     l1 = config["model"]["l1_lambda"]
     l2 = config["model"]["l2_lambda"]
 
-    @jax.jit
+    # donate the mutable training state so XLA updates buffers in place
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, batch_stats, opt_state, features, edges,
                    triples, labels, rng):
         def loss_fn(p):

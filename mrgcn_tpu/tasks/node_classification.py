@@ -161,7 +161,9 @@ def make_steps(model: MRGCN, optimizer, config: Dict):
     l1 = config["model"]["l1_lambda"]
     l2 = config["model"]["l2_lambda"]
 
-    @jax.jit
+    # donate params / batch_stats / opt_state: they are consumed and
+    # rebound every step, letting XLA update them in place
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, batch_stats, opt_state, features, edges, idx,
                    targets, weights, rng):
         def loss_fn(p):

@@ -5,6 +5,9 @@ if it wins)."""
 from __future__ import annotations
 
 import json
+import sys
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np

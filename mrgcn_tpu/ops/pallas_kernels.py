@@ -18,6 +18,13 @@ edge stream at row-block boundaries), so ``out_block += onehot(local_src)^T
 TPU grids execute sequentially on a core, and the output BlockSpec's index
 map reads the scalar-prefetched ``row_block`` table, so revisited blocks
 stay resident in VMEM and are flushed exactly once.
+
+Status: correctness-verified (interpret-mode parity tests v. the XLA fused
+path; <1e-2 relative difference on hardware from MXU f32 passes). Measured
+at parity with the XLA fused path on a v5e at DMG scale — the XLA gather
+producing ``G`` dominates both — so the default execution path remains
+:mod:`mrgcn_tpu.ops.rspmm`; this kernel is kept as the building block for a
+future gather-fused variant.
 """
 
 from __future__ import annotations
@@ -91,9 +98,12 @@ def _kernel(row_block_ref,              # scalar-prefetch: (num_blocks,)
         out_ref[:] = jnp.zeros_like(out_ref)
 
     eb = g_ref.shape[0]
-    g = g_ref[:].reshape(eb, num_bases, out_dim)
-    msgs = jnp.einsum("eb,ebo->eo", w_ref[:], g,
-                      preferred_element_type=jnp.float32)   # (EB, out)
+    # basis mix as an unrolled VPU multiply-add — Mosaic has no batched
+    # dot_general lowering
+    msgs = jnp.zeros((eb, out_dim), dtype=jnp.float32)
+    for b in range(num_bases):
+        msgs = msgs + (w_ref[:, b:b + 1]
+                       * g_ref[:, b * out_dim:(b + 1) * out_dim])
 
     local = local_ref[:]                                    # (EB, 1)
     rows = jax.lax.broadcasted_iota(jnp.int32, (eb, row_block), 1)

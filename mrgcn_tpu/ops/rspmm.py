@@ -30,6 +30,7 @@ edges (``norm == 0``, out-of-range ``src``) contribute nothing.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -39,6 +40,13 @@ import jax.numpy as jnp
 # of e.g. 14 occupies 128 lanes
 DIRECT_BUDGET_ELEMS = 2 ** 27   # 512 MiB for the (R*n, out) buffer
 MESSAGE_BUDGET_ELEMS = 2 ** 28  # 1 GiB for the (E, B*out) gather buffer
+
+
+def _gather_dtype():
+    """MRGCN_BF16_GATHER=1 halves the fused-path gather traffic by casting
+    the flat buffer to bfloat16 (f32 accumulation)."""
+    return jnp.bfloat16 if os.environ.get("MRGCN_BF16_GATHER") == "1" \
+        else None
 
 
 def _pad128(x: int) -> int:
@@ -59,20 +67,25 @@ def _fused_basis_aggregate(flat: jnp.ndarray, src: jnp.ndarray,
                            dst: jnp.ndarray, rel: jnp.ndarray,
                            norm: jnp.ndarray, comp: jnp.ndarray,
                            num_nodes: int, out_dim: int,
-                           budget_elems: int) -> jnp.ndarray:
+                           budget_elems: int,
+                           gather_dtype=None) -> jnp.ndarray:
     """``out[s] = Σ_e Σ_b (comp[rel_e,b] norm_e) flat[dst_e, b*out:(b+1)*out]``.
 
     ``flat``: (n_cols, B*out). Chunks the edge dimension when the (E, B*out)
     gather exceeds the budget; chunk bodies are rematerialised so backward
-    re-gathers instead of storing stacked messages.
+    re-gathers instead of storing stacked messages. ``gather_dtype=bfloat16``
+    halves the gather traffic (accumulation stays f32).
     """
     E = src.shape[0]
     B = comp.shape[1]
+    if gather_dtype is not None:
+        flat = flat.astype(gather_dtype)
 
     def chunk_messages(dst_c, rel_c, norm_c):
         g = flat[dst_c].reshape(-1, B, out_dim)         # (C, B, out)
-        w = comp[rel_c] * norm_c[:, None]               # (C, B)
-        return jnp.einsum("eb,ebo->eo", w, g)           # (C, out)
+        w = (comp[rel_c] * norm_c[:, None]).astype(flat.dtype)  # (C, B)
+        return jnp.einsum("eb,ebo->eo", w, g,
+                          preferred_element_type=jnp.float32)   # (C, out)
 
     per_edge = _pad128(B * out_dim)
     chunk = max(8, budget_elems // per_edge)
@@ -134,7 +147,8 @@ def transform_aggregate(H: jnp.ndarray, src: jnp.ndarray, dst: jnp.ndarray,
     flat = flat.reshape(n_cols, B * out_dim)
     comp_eff = jnp.eye(B, dtype=H.dtype) if comp is None else comp
     return _fused_basis_aggregate(flat, src, dst, rel, norm, comp_eff,
-                                  num_nodes, out_dim, message_budget_elems)
+                                  num_nodes, out_dim, message_budget_elems,
+                                  gather_dtype=_gather_dtype())
 
 
 def transform_aggregate_grouped(H: jnp.ndarray, grp_src: jnp.ndarray,
@@ -206,7 +220,8 @@ def gather_aggregate(node_weights: jnp.ndarray, src: jnp.ndarray,
     flat = jnp.transpose(node_weights, (1, 0, 2)).reshape(n_cols,
                                                           S * out_dim)
     return _fused_basis_aggregate(flat, src, dst, rel, norm, comp,
-                                  num_nodes, out_dim, message_budget_elems)
+                                  num_nodes, out_dim, message_budget_elems,
+                                  gather_dtype=_gather_dtype())
 
 
 def reference_dense_check(H, src, dst, rel, norm, num_nodes, num_relations,

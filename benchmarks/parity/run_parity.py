@@ -1,0 +1,108 @@
+"""Accuracy/MRR parity harness: reference implementation vs mrgcn_tpu.
+
+Runs BOTH implementations on identical synthetic datasets with identical
+hyperparameters and compares final test metrics (the north-star target is
+agreement within +-0.05 accuracy / MRR). The reference runs against a
+minimal rdflib/toml shim (see ``shims/``) since rdflib is not installed.
+
+Usage (from the repo root):
+    python benchmarks/parity/run_parity.py [--task nc|lp|all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import tempfile
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(os.path.dirname(HERE))
+REFERENCE = "/root/reference"
+SHIMS = os.path.join(HERE, "shims")
+
+
+def run(cmd, cwd=None, env=None, timeout=3600) -> str:
+    proc = subprocess.run(cmd, cwd=cwd, env=env, capture_output=True,
+                          text=True, timeout=timeout)
+    if proc.returncode != 0:
+        raise RuntimeError(f"{' '.join(cmd)} failed:\n{proc.stdout[-2000:]}"
+                           f"\n{proc.stderr[-4000:]}")
+    return proc.stdout + proc.stderr
+
+
+def run_reference(config: str, out_dir: str, task: str) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = SHIMS + ":" + REFERENCE
+    env.pop("JAX_PLATFORMS", None)
+
+    out = run([sys.executable, "mrgcn/mkdataset.py", "-c", config,
+               "-o", out_dir + "/"], cwd=REFERENCE, env=env)
+    tar = max((os.path.join(out_dir, f) for f in os.listdir(out_dir)
+               if f.endswith(".tar")), key=os.path.getmtime)
+
+    out = run([sys.executable, "mrgcn/run.py", "-c", config, "-i", tar,
+               "-o", out_dir + "/", "--test", "--dry_run"],
+              cwd=REFERENCE, env=env)
+    return parse_metrics(out, task)
+
+
+def run_ours(config: str, out_dir: str, task: str) -> dict:
+    env = dict(os.environ)
+    env["MRGCN_PLATFORM"] = env.get("MRGCN_PARITY_PLATFORM", "cpu")
+
+    out = run([sys.executable, "-m", "mrgcn_tpu.mkdataset", "-c", config,
+               "-o", out_dir + "/"], cwd=REPO, env=env)
+    npz = max((os.path.join(out_dir, f) for f in os.listdir(out_dir)
+               if f.endswith(".npz")), key=os.path.getmtime)
+
+    out = run([sys.executable, "-m", "mrgcn_tpu.run", "-c", config,
+               "-i", npz, "-o", out_dir + "/", "--test", "--dry_run"],
+              cwd=REPO, env=env)
+    return parse_metrics(out, task)
+
+
+def parse_metrics(output: str, task: str) -> dict:
+    if task == "nc":
+        m = re.search(r"loss ([\d.]+) / accuracy ([\d.]+)", output)
+        if not m:
+            raise RuntimeError(f"no NC metrics in output:\n{output[-2000:]}")
+        return {"loss": float(m.group(1)), "accuracy": float(m.group(2))}
+    m = re.search(
+        r"MRR \(raw\) ([\d.]+).*?H@10 ([\d.]+)(?:.*?MRR \(filtered\) "
+        r"([\d.]+).*?H@10 ([\d.]+))?", output, re.DOTALL)
+    if not m:
+        raise RuntimeError(f"no LP metrics in output:\n{output[-2000:]}")
+    out = {"mrr_raw": float(m.group(1)), "hits10_raw": float(m.group(2))}
+    if m.group(3):
+        out["mrr_flt"] = float(m.group(3))
+        out["hits10_flt"] = float(m.group(4))
+    return out
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--task", choices=("nc", "lp", "all"), default="all")
+    args = parser.parse_args()
+
+    tasks = ["nc", "lp"] if args.task == "all" else [args.task]
+    results = {}
+    for task in tasks:
+        config = os.path.join(HERE, f"{task}_config.toml")
+        with tempfile.TemporaryDirectory() as ref_dir, \
+                tempfile.TemporaryDirectory() as our_dir:
+            ref = run_reference(config, ref_dir, task)
+            ours = run_ours(config, our_dir, task)
+        results[task] = {"reference": ref, "mrgcn_tpu": ours}
+        print(f"[{task}] reference: {ref}")
+        print(f"[{task}] mrgcn_tpu: {ours}")
+
+    print(json.dumps(results))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -178,10 +178,10 @@ def subset_features(features: Dict, outer_nodes: np.ndarray,
         if pad:
             rows = np.concatenate(
                 [rows, np.zeros((pad, *rows.shape[1:]), dtype=rows.dtype)])
-            # padded rows scatter out of range and are dropped
+            # padded rows scatter far out of range (beyond any node-count
+            # bucket) and are dropped by mode="drop"
             local = np.concatenate(
-                [local, np.full(pad, len(outer_sorted) + row_bucket,
-                                dtype=np.int32)])
+                [local, np.full(pad, 2 ** 30, dtype=np.int32)])
         out[name] = (jnp.asarray(rows), jnp.asarray(local))
     return out
 

@@ -76,20 +76,10 @@ def strip_graph(kg: KnowledgeGraph, config: Dict) -> None:
         return
 
     n = len(kg)
-    separate_literals = config["graph"]["structural"]["separate_literals"]
-    inv_triples = frozenset(kg.triples((None, IRI(target_property_inv), None),
-                                       separate_literals))
-    # subtract the raw (non-separated) triples backing those occurrences
-    raw = frozenset((s, p, getattr(o, "raw", o)) for s, p, o in inv_triples)
-    kg.remove_triples(kg_triples_matching(kg, IRI(target_property_inv)))
+    kg.remove_triples(kg.triples((None, IRI(target_property_inv), None),
+                                 separate_literals=False))
     m = len(kg)
-    del raw
     logger.debug("stripped %d triples (%d remain)", n - m, m)
-
-
-def kg_triples_matching(kg: KnowledgeGraph, prop) -> list:
-    return [t for t in kg.triples((None, prop, None),
-                                  separate_literals=False)]
 
 
 def triples_to_indices(kg: KnowledgeGraph, node_map: Dict, edge_map: Dict,

@@ -190,10 +190,12 @@ def _index_triples(kg: KnowledgeGraph, nodes_map: Dict, included_rank: Dict,
 def compute_norm(src: np.ndarray, rel: np.ndarray, num_nodes: int,
                  num_relations: int) -> np.ndarray:
     """Per-relation row normalisation ``1 / rowdegree``
-    (reference: graph_structure.py:162-169)."""
+    (reference: graph_structure.py:162-169). O(E) memory — a dense
+    bincount over ``R * n`` keys would need gigabytes on large KGs."""
     key = rel.astype(np.int64) * num_nodes + src.astype(np.int64)
-    degree = np.bincount(key, minlength=num_relations * num_nodes)
-    return (1.0 / degree[key]).astype(np.float32)
+    _, inverse, counts = np.unique(key, return_inverse=True,
+                                   return_counts=True)
+    return (1.0 / counts[inverse]).astype(np.float32)
 
 
 @dataclass

@@ -165,12 +165,17 @@ class MRGCN(nn.Module):
             return data.astype(jnp.int32)
         if datatype == "blob.image":
             _, transform_cfg, _, _ = args
-            mean = jnp.asarray(transform_cfg.get("mean", (0.5, 0.5, 0.5)),
-                               dtype=jnp.float32) * 255.0
-            std = jnp.asarray(transform_cfg.get("std", (0.25, 0.25, 0.25)),
-                              dtype=jnp.float32) * 255.0
             x = data.astype(jnp.float32)
-            x = (x - mean[None, :, None, None]) / std[None, :, None, None]
+            # normalise only when the config provides mean AND std — the
+            # reference builds its Normalizer under the same condition
+            # (reference: mrgcn.py:107-111)
+            if "mean" in transform_cfg and "std" in transform_cfg:
+                mean = jnp.asarray(transform_cfg["mean"],
+                                   dtype=jnp.float32) * 255.0
+                std = jnp.asarray(transform_cfg["std"],
+                                  dtype=jnp.float32) * 255.0
+                x = (x - mean[None, :, None, None]) \
+                    / std[None, :, None, None]
             return jnp.transpose(x, (0, 2, 3, 1))  # NCHW -> NHWC
         if datatype == "ogc.wktLiteral":
             return jnp.transpose(data.astype(jnp.float32), (0, 2, 1))

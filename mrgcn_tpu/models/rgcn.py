@@ -183,6 +183,10 @@ class RGCN(nn.Module):
         for i, layer in enumerate(self.layers):
             X = layer(X, edges[i] if per_layer else edges)
             X = self._node_dropout(X, train)
-            if i < num_layers - 1:  # ReLU on all but the output layer
+            # NC leaves the output layer linear (logits); LP applies ReLU on
+            # every layer — the reference builds all LP conv modules with
+            # ReLU and has no separate output layer
+            # (reference: link_prediction.py:449-464, node_classification.py:398-419)
+            if i < num_layers - 1 or self.link_prediction:
                 X = nn.relu(X)
         return X

@@ -266,6 +266,16 @@ void* nt_parse(const char* path) {
     if (!carry.empty())
         parse_line(carry.data(), carry.data() + carry.size(), interner,
                    *result, scratch);
+
+    // gzread returns -1 on a corrupt/truncated stream — distinguish that
+    // from EOF so callers don't treat a partial graph as success
+    if (n < 0) {
+        int errnum = 0;
+        const char* msg = gzerror(f, &errnum);
+        result->error = msg != nullptr && errnum != Z_OK
+                            ? msg
+                            : "gzread failed";
+    }
     gzclose(f);
     return result;
 }

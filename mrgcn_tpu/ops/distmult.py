@@ -40,9 +40,9 @@ def score(s_idx, p_idx, o_idx, node_embeddings, edge_embeddings):
     return jnp.sum(s * p * o, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("head", "num_valid"))
+@partial(jax.jit, static_argnames=("head",))
 def _chunk_ranks(data, node_embeddings, edge_embeddings, filter_fact,
-                 filter_cand, head: bool, num_valid: Optional[int] = None):
+                 filter_cand, num_valid, head: bool):
     """Ranks for one chunk of facts, raw and filtered.
 
     ``data``: (F, 3) int32 (padded rows allowed — caller slices results).
@@ -63,11 +63,11 @@ def _chunk_ranks(data, node_embeddings, edge_embeddings, filter_fact,
     scores = jnp.dot(part, node_embeddings.T,
                      preferred_element_type=jnp.float32)  # (F, N)
 
-    if num_valid is not None and num_valid < node_embeddings.shape[0]:
-        # mini-batch ranking: rows beyond the batch's real node count are
-        # padding, never candidates
-        col = jnp.arange(node_embeddings.shape[0])[None, :]
-        scores = jnp.where(col < num_valid, scores, -jnp.inf)
+    # mini-batch ranking: rows beyond the batch's real node count are
+    # padding, never candidates. num_valid is traced (a jnp scalar) so
+    # varying batch node counts do not trigger recompiles.
+    col = jnp.arange(node_embeddings.shape[0])[None, :]
+    scores = jnp.where(col < num_valid, scores, -jnp.inf)
 
     true_scores = jnp.take_along_axis(scores, targets[:, None], axis=1)
 
@@ -164,10 +164,11 @@ def compute_ranks(data: np.ndarray, node_embeddings, edge_embeddings,
                     [ff, np.full(pad_pairs, chunk_size, dtype=np.int32)])
                 fc = np.concatenate(
                     [fc, np.zeros(pad_pairs, dtype=np.int32)])
+            nv = node_embeddings.shape[0] if num_valid is None else num_valid
             raw, flt = _chunk_ranks(
                 jnp.asarray(chunk), node_embeddings, edge_embeddings,
-                jnp.asarray(ff), jnp.asarray(fc), head,
-                num_valid=num_valid)
+                jnp.asarray(ff), jnp.asarray(fc),
+                jnp.asarray(nv, dtype=jnp.int32), head)
             raw_out[offset + begin:offset + end] = np.asarray(
                 raw)[:end - begin]
             flt_out[offset + begin:offset + end] = np.asarray(

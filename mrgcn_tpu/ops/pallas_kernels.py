@@ -148,6 +148,14 @@ def mix_segment_sum(G: jnp.ndarray, W: jnp.ndarray, local_src: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((n_pad, out_dim), jnp.float32),
         interpret=interpret,
     )(row_block_idx, G, W, local_src.reshape(-1, 1))
+
+    # row blocks with no edges are never visited by the grid, so their
+    # output rows hold uninitialised memory — zero them explicitly
+    num_row_blocks = n_pad // row_block
+    covered = jnp.zeros(num_row_blocks, dtype=jnp.bool_).at[
+        row_block_idx].set(True, mode="drop")
+    mask = jnp.repeat(covered, row_block)
+    out = jnp.where(mask[:, None], out, 0.0)
     return out[:num_nodes]
 
 

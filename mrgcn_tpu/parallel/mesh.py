@@ -61,11 +61,31 @@ def shard_edges(mesh: Mesh, edges: EdgeBlock) -> EdgeBlock:
     :func:`mrgcn_tpu.encodings.structure.pad_edges`)."""
     spec = edge_sharding(mesh)
     put = lambda x: jax.device_put(x, spec)  # noqa: E731
+
+    # grouped layout: shard edge-aligned arrays when the group count splits
+    # evenly over the data axis (group boundaries must align with shard
+    # boundaries); otherwise replicate — the grouped MXU path stays active
+    # either way
+    grp = {"grp_src": None, "grp_dst": None, "grp_norm": None,
+           "group_rel": None}
+    if edges.grouped:
+        data_size = mesh.shape["data"]
+        if edges.group_rel.shape[0] % data_size == 0:
+            gput = put
+        else:
+            rep = replicated(mesh)
+            gput = lambda x: jax.device_put(x, rep)  # noqa: E731
+        grp = {"grp_src": gput(edges.grp_src),
+               "grp_dst": gput(edges.grp_dst),
+               "grp_norm": gput(edges.grp_norm),
+               "group_rel": gput(edges.group_rel)}
+
     return EdgeBlock(src=put(edges.src), dst=put(edges.dst),
                      rel=put(edges.rel), norm=put(edges.norm),
                      num_out=edges.num_out, num_in=edges.num_in,
                      dst_global=(None if edges.dst_global is None
-                                 else put(edges.dst_global)))
+                                 else put(edges.dst_global)),
+                     group_size=edges.group_size, **grp)
 
 
 def shard_features(mesh: Mesh, features: Dict) -> Dict:

@@ -147,13 +147,17 @@ def make_batches(inputs: RunInputs, label_rows: np.ndarray, batchsize: int,
     batches = []
     for begin in range(0, num_samples, batchsize):
         rows = label_rows[begin:begin + batchsize]
-        mb = batching.sample_minibatch(index, rows[:, 0], num_layers)
+        # a node may carry several labels (multi-label target triples);
+        # sample its neighbourhood once and point every label row at the
+        # same local output row
+        uniq_nodes, inverse = np.unique(rows[:, 0], return_inverse=True)
+        mb = batching.sample_minibatch(index, uniq_nodes, num_layers)
         feats = batching.subset_features(inputs.features, mb.outer_nodes)
         idx, targets, weights = _pad_labels(
-            np.arange(mb.num_batch, dtype=np.int32), rows[:, 1])
+            inverse.astype(np.int32), rows[:, 1])
         batches.append(NCBatch(features=feats, edges=mb.layer_edges,
                                idx=idx, targets=targets, weights=weights,
-                               num_real=mb.num_batch))
+                               num_real=len(rows)))
     return batches
 
 

@@ -139,8 +139,9 @@ def nc_config(paths: Dict, name: str = "SYNTH-NC",
 
 
 def make_lp_dataset(dirpath: str, num_entities: int = 40,
-                    seed: int = 7) -> Dict:
-    """Small link-prediction KG with structured relations."""
+                    with_literals: bool = False, seed: int = 7) -> Dict:
+    """Small link-prediction KG with structured relations; optionally with
+    numeric literal annotations (multimodal LP)."""
     rng = random.Random(seed)
     os.makedirs(dirpath, exist_ok=True)
 
@@ -157,6 +158,10 @@ def make_lp_dataset(dirpath: str, num_entities: int = 40,
             seen.add(key)
             triples.append(f"{_fmt(EX + f'e{i}')} {_fmt(EX + rel)} "
                            f"{_fmt(EX + f'e{j}')}")
+        if with_literals:
+            triples.append(
+                f"{_fmt(EX + f'e{i}')} {_fmt(EX + 'hasScore')} "
+                f"{_lit(round(i / num_entities, 3), 'double')}")
 
     rng.shuffle(triples)
     n = len(triples)

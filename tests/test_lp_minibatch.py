@@ -62,3 +62,31 @@ def test_lp_minibatch_end_to_end(lp_setup):
     assert np.isfinite(loss)
     assert 0.0 < mrr["raw"] <= 1.0
     assert all(r >= 1 for r in ranks["raw"])
+
+
+def test_lp_with_literal_features(tmp_path):
+    """Multimodal LP: numeric literals feed the R-GCN input layer."""
+    paths = synth.make_lp_dataset(str(tmp_path), with_literals=True)
+    config = apply_defaults(synth.lp_config(paths, epochs=8))
+    config["graph"]["features"] = [
+        {"datatype": "xsd.numeric", "include": True, "share_weights": True,
+         "embedding_dim": 4, "p_dropout": 0.0}]
+    config = apply_defaults(config)
+
+    A, F, Y, data, sample_map, class_map = build(config)
+    assert "xsd.numeric" in F
+    path = str(tmp_path / "ds.npz")
+    artifact_io.save(path, A, F, Y=Y, data=data, sample_map=sample_map,
+                     class_map=class_map)
+    art = artifact_io.load(path)
+
+    tsv = TSV("/dev/null", "w", dry_run=True)
+    state, epoch, loss, mrr, hits, ranks = link_prediction.run(
+        art, config, tsv, featureless=False, test_split="test",
+        checkpoint=None, seed=3)
+    assert np.isfinite(loss)
+    assert 0.0 < mrr["raw"] <= 1.0
+    params = state[0]
+    # the gate and the numeric encoder exist and trained
+    assert "gate_weights" in params
+    assert "xsd_numeric_0" in params

@@ -96,15 +96,30 @@ class RGCNLayer(nn.Module):
         out = 0.0
         if self.input_layer:
             # fans computed over the flattened (S*n, out) matrix, matching
-            # the reference's 2-D xavier (reference: graph.py:51, 104-112)
-            weight_i = self.param(
-                "weight_i",
-                tinit.xavier_uniform(fan_shape=(S * self.num_nodes,
-                                                self.out_dim)),
-                (S, self.num_nodes, self.out_dim))
-            out = rspmm.gather_aggregate(
-                weight_i, edges.src, edges.identity_dst, edges.rel,
-                edges.norm, edges.num_out, comp=comp_i)
+            # the reference's 2-D xavier (reference: graph.py:51, 104-112).
+            # For narrow outputs the weight is stored row-packed
+            # (k rows per 128-lane row) — see rspmm.packed_identity_shape —
+            # cutting HBM residency, optimizer traffic and gather bytes by
+            # 128/out.
+            fan_shape = (S * self.num_nodes, self.out_dim)
+            shape, k = rspmm.packed_identity_shape(S, self.num_nodes,
+                                                   self.out_dim)
+            if k > 1:
+                weight_i = self.param(
+                    "weight_i_packed",
+                    tinit.packed_xavier_uniform(fan_shape, self.num_nodes,
+                                                self.out_dim, k),
+                    shape)
+                out = rspmm.gather_aggregate_packed(
+                    weight_i, edges.src, edges.identity_dst, edges.rel,
+                    edges.norm, edges.num_out, self.out_dim, k, comp=comp_i)
+            else:
+                weight_i = self.param(
+                    "weight_i", tinit.xavier_uniform(fan_shape=fan_shape),
+                    (S, self.num_nodes, self.out_dim))
+                out = rspmm.gather_aggregate(
+                    weight_i, edges.src, edges.identity_dst, edges.rel,
+                    edges.norm, edges.num_out, comp=comp_i)
 
             if self.featureless:
                 if self.use_bias:

@@ -189,6 +189,59 @@ def _compose_weights(basis: jnp.ndarray,
     return jnp.einsum("rb,bio->rio", comp, basis)
 
 
+def packing_factor(out_dim: int) -> int:
+    """How many logical weight rows fit one 128-lane row. TPU pads the minor
+    dimension to 128 lanes, so an identity weight with out=16 wastes 8x HBM
+    (and 8x optimizer traffic) unless rows are packed. Returns 1 when
+    packing isn't worthwhile (out > 64)."""
+    out_p = 1
+    while out_p < out_dim:
+        out_p *= 2
+    return 128 // out_p if out_p <= 64 else 1
+
+
+def packed_identity_shape(S: int, num_nodes: int, out_dim: int):
+    """Parameter shape for a packed identity weight: (S, ceil(n/k), 128)
+    holding k consecutive node rows (each padded to 128/k lanes) per
+    lane-row."""
+    k = packing_factor(out_dim)
+    if k == 1:
+        return (S, num_nodes, out_dim), 1
+    n_rows = -(-num_nodes // k)
+    return (S, n_rows, 128), k
+
+
+def gather_aggregate_packed(packed: jnp.ndarray, src: jnp.ndarray,
+                            dst: jnp.ndarray, rel: jnp.ndarray,
+                            norm: jnp.ndarray, num_nodes: int, out_dim: int,
+                            k: int, comp: Optional[jnp.ndarray] = None
+                            ) -> jnp.ndarray:
+    """Featureless aggregation over a packed identity weight.
+
+    ``packed``: (S, n_rows, 128) with logical row ``d`` at
+    ``packed[s, d // k, (d % k) * (128 // k) : ...]``. Gathers one 128-lane
+    row per edge (k-fold fewer bytes than the padded layout) and selects the
+    sub-row with a one-hot contraction on the VPU.
+    """
+    S, n_rows, _ = packed.shape
+    sub = 128 // k
+
+    if comp is not None:
+        # compose in the packed layout — minor dim stays 128, no pad waste
+        flat = jnp.einsum("rs,sgl->rgl", comp, packed,
+                          preferred_element_type=jnp.float32)
+    else:
+        flat = packed
+    R = flat.shape[0]
+    flat = flat.reshape(R * n_rows, 128)
+
+    packed_idx = rel.astype(jnp.int32) * n_rows + dst.astype(jnp.int32) // k
+    g = flat[packed_idx].reshape(-1, k, sub)              # (E, k, sub)
+    sel = jax.nn.one_hot(dst % k, k, dtype=g.dtype)       # (E, k)
+    messages = jnp.einsum("ek,eks->es", sel, g)[:, :out_dim]
+    return segment_sum(messages * norm[:, None], src, num_nodes)
+
+
 def gather_aggregate(node_weights: jnp.ndarray, src: jnp.ndarray,
                      dst: jnp.ndarray, rel: jnp.ndarray, norm: jnp.ndarray,
                      num_nodes: int, comp: Optional[jnp.ndarray] = None,

@@ -25,7 +25,8 @@ logger = logging.getLogger(__name__)
 # ('gate_weights' contains 'weight'); biases and the DistMult relation
 # vectors are excluded.
 _WEIGHT_LEAVES = {"kernel", "scale", "embedding", "pos_embedding",
-                  "weight_i", "weight_f", "comp_i", "comp_f", "gate_weights"}
+                  "weight_i", "weight_i_packed", "weight_f", "comp_i",
+                  "comp_f", "gate_weights"}
 
 
 def weight_mask(params) -> Dict:

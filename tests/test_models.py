@@ -39,7 +39,8 @@ def test_rgcn_with_bases_param_shapes():
                  num_bases=B, featureless=True)
     params = model.init(jax.random.PRNGKey(0), None, edges)
     p0 = params["params"]["layer_0"]
-    assert p0["weight_i"].shape == (B, n, 8)
+    # out=8 -> packed layout: 16 rows per 128-lane row
+    assert p0["weight_i_packed"].shape == (B, -(-n // 16), 128)
     assert p0["comp_i"].shape == (R, B)
     p1 = params["params"]["layer_1"]
     assert p1["weight_f"].shape == (B, 8, 5)

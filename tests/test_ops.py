@@ -252,3 +252,51 @@ def test_grouped_transform_with_bases():
         jnp.asarray(basis), comp=jnp.asarray(comp))
     np.testing.assert_allclose(np.asarray(grouped), np.asarray(oracle),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_packed_gather_matches_unpacked():
+    rng = np.random.default_rng(10)
+    n, R, B, E, out_dim = 21, 5, 2, 150, 6
+    src = rng.integers(0, n, E).astype(np.int32)
+    dst = rng.integers(0, n, E).astype(np.int32)
+    rel = rng.integers(0, R, E).astype(np.int32)
+    norm = rng.random(E).astype(np.float32)
+    basis = rng.standard_normal((B, n, out_dim)).astype(np.float32)
+    comp = rng.standard_normal((R, B)).astype(np.float32)
+
+    oracle = rspmm.gather_aggregate(jnp.asarray(basis), jnp.asarray(src),
+                                    jnp.asarray(dst), jnp.asarray(rel),
+                                    jnp.asarray(norm), n,
+                                    comp=jnp.asarray(comp))
+
+    # pack: (B, ceil(n/k), 128), k = 128 // next_pow2(out)
+    shape, k = rspmm.packed_identity_shape(B, n, out_dim)
+    sub = 128 // k
+    packed = np.zeros(shape, dtype=np.float32)
+    for b in range(B):
+        for d in range(n):
+            packed[b, d // k, (d % k) * sub:(d % k) * sub + out_dim] = \
+                basis[b, d]
+
+    got = rspmm.gather_aggregate_packed(
+        jnp.asarray(packed), jnp.asarray(src), jnp.asarray(dst),
+        jnp.asarray(rel), jnp.asarray(norm), n, out_dim, k,
+        comp=jnp.asarray(comp))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
+                               rtol=1e-4, atol=1e-4)
+
+    # no-comp variant
+    oracle2 = rspmm.gather_aggregate(
+        jnp.asarray(np.einsum("rb,bno->rno", comp, basis)),
+        jnp.asarray(src), jnp.asarray(dst), jnp.asarray(rel),
+        jnp.asarray(norm), n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(oracle2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_packing_factor():
+    assert rspmm.packing_factor(16) == 8
+    assert rspmm.packing_factor(14) == 8   # rounds to 16 lanes per row
+    assert rspmm.packing_factor(64) == 2
+    assert rspmm.packing_factor(65) == 1
+    assert rspmm.packing_factor(200) == 1

@@ -110,8 +110,8 @@ def param_shardings(mesh: Mesh, params):
 
     def rule(path, leaf):
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        if name in ("weight_i", "weight_f") and model_size > 1 \
-                and leaf.shape[0] % model_size == 0:
+        if name in ("weight_i", "weight_i_packed", "weight_f") \
+                and model_size > 1 and leaf.shape[0] % model_size == 0:
             return NamedSharding(mesh, P("model"))
         return replicated(mesh)
 

@@ -123,6 +123,40 @@ class KnowledgeGraph:
         for atom in frozenset(s for s, _, _ in self._triples):
             yield atom
 
+    def terminal_atoms(self) -> Iterator[Term]:
+        """Objects that never appear as subjects
+        (reference: knowledge_graph.py:89-96)."""
+        non_terminal = frozenset(self.non_terminal_atoms())
+        for _, _, o in self._triples:
+            if o in non_terminal:
+                continue
+            yield o
+
+    def objecttype_properties(self) -> Iterator[Term]:
+        """Properties used with at least one non-literal object
+        (reference: knowledge_graph.py:113-122)."""
+        attributes = frozenset(self.attributes())
+        seen = set()
+        for _, p, _ in self._triples:
+            if p in seen:
+                continue
+            objects = {o for _, pp, o in self._triples if pp == p}
+            if len(objects - attributes) <= 0:
+                continue
+            seen.add(p)
+            yield p
+
+    def datatype_properties(self) -> Iterator[Term]:
+        """Properties used exclusively with literal objects
+        (reference: knowledge_graph.py:124-132)."""
+        ot = set(self.objecttype_properties())
+        seen = set()
+        for _, p, _ in self._triples:
+            if p in ot or p in seen:
+                continue
+            seen.add(p)
+            yield p
+
     def attributes(self) -> Iterator[Literal]:
         for _, _, o in self._triples:
             if type(o) is Literal:

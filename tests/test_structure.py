@@ -107,3 +107,26 @@ def test_pad_edges(tiny_kg):
     padded = structure.pad_edges(s, multiple=64)
     assert padded.num_edges == 64
     assert np.all(padded.norm[s.num_edges:] == 0.0)
+
+
+def test_kg_property_type_generators():
+    from mrgcn_tpu.data.rdf import Literal, xsd as xsd_iri
+    t = [
+        (IRI("http://x/a"), IRI("http://x/knows"), IRI("http://x/b")),
+        (IRI("http://x/a"), IRI("http://x/age"),
+         Literal("5", datatype=xsd_iri("int"))),
+        (IRI("http://x/b"), IRI("http://x/mixed"), IRI("http://x/c")),
+        (IRI("http://x/c"), IRI("http://x/mixed"),
+         Literal("x", datatype=xsd_iri("string"))),
+    ]
+    kg = KnowledgeGraph(t)
+    ot = set(kg.objecttype_properties())
+    dt = set(kg.datatype_properties())
+    assert IRI("http://x/knows") in ot
+    assert IRI("http://x/mixed") in ot     # mixed usage counts as objecttype
+    assert IRI("http://x/age") in dt
+    assert ot.isdisjoint(dt)
+
+    terminals = set(kg.terminal_atoms())
+    assert IRI("http://x/b") not in terminals  # also a subject
+    assert any(isinstance(x, Literal) for x in terminals)

@@ -67,22 +67,24 @@ def main():
 
     results["adam_update"] = timeit(adam_only, params, opt_state)
 
-    # layer-1 featureless gather alone (fwd)
-    wi = params["layer_0"]["weight_i"]
+    # layer-1 featureless packed gather alone (fwd + grad)
+    wi = params["layer_0"]["weight_i_packed"]
     ci = params["layer_0"]["comp_i"]
+    _, k = rspmm.packed_identity_shape(B, n, hidden)
 
     @jax.jit
     def l1_fwd(wi, ci):
-        return rspmm.gather_aggregate(wi, edges.src, edges.dst, edges.rel,
-                                      edges.norm, n, comp=ci)
+        return rspmm.gather_aggregate_packed(
+            wi, edges.src, edges.dst, edges.rel, edges.norm, n, hidden, k,
+            comp=ci)
 
-    results["layer1_gather_fwd"] = timeit(l1_fwd, wi, ci)
+    results["layer1_packed_fwd"] = timeit(l1_fwd, wi, ci)
 
     @jax.jit
     def l1_grad(wi, ci):
         return jax.grad(lambda a, b: l1_fwd(a, b).sum())(wi, ci)
 
-    results["layer1_gather_grad"] = timeit(l1_grad, wi, ci)
+    results["layer1_packed_grad"] = timeit(l1_grad, wi, ci)
 
     # layer-2 transform alone
     H = jnp.ones((n, hidden), dtype=jnp.float32)

@@ -134,8 +134,17 @@ def compute_ranks(data: np.ndarray, node_embeddings, edge_embeddings,
     """
     data = np.asarray(data)
     num_facts = data.shape[0]
+    num_nodes = int(node_embeddings.shape[0])
     if chunk_size <= 0:
         chunk_size = num_facts
+
+    # chunking exists purely to bound the (chunk, N) score matrix — results
+    # are chunk-size independent — so grow the caller's hint (the reference's
+    # mrr_batchsize memory knob) until the score matrix fills a healthy
+    # budget; fewer, larger device calls amortise dispatch overhead
+    budget_elems = 2 ** 26  # 256 MiB of f32 scores
+    chunk_size = min(num_facts,
+                     max(chunk_size, budget_elems // max(num_nodes, 1)))
 
     heads, tails = truedicts(true_facts if true_facts is not None else data)
 

@@ -16,8 +16,8 @@ hop's nodes (reference: mrgcn/models/mrgcn.py:216-248).
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Dict, List, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -28,7 +28,7 @@ from mrgcn_tpu.models.rgcn import EdgeBlock
 logger = logging.getLogger(__name__)
 
 
-def _bucket(n: int, minimum: int = 64) -> int:
+def bucket(n: int, minimum: int = 64) -> int:
     """Next power of two >= n (>= minimum), so shapes repeat across batches."""
     size = minimum
     while size < n:
@@ -101,10 +101,10 @@ def sample_minibatch(index: EdgeIndex, batch_nodes: np.ndarray,
         norm = index.norm[eids]
         rel = index.rel[eids]
 
-        E = _bucket(len(eids), edge_bucket)
+        E = bucket(len(eids), edge_bucket)
         pad = E - len(eids)
-        n_out = _bucket(len(out_nodes), node_bucket)
-        n_in = _bucket(len(in_nodes), node_bucket)
+        n_out = bucket(len(out_nodes), node_bucket)
+        n_in = bucket(len(in_nodes), node_bucket)
         if pad:
             # padding edges scatter to an out-of-range row and are dropped
             src_local = np.concatenate(
@@ -122,7 +122,7 @@ def sample_minibatch(index: EdgeIndex, batch_nodes: np.ndarray,
             src_local[:len(eids)], dst_local[:len(eids)],
             index.rel[eids], norm[:len(eids)], n_out, group_size=64)
         # bucket the group count so batch shapes repeat
-        G = _bucket(grouping.num_groups, 4)
+        G = bucket(grouping.num_groups, 4)
         gpad = G - grouping.num_groups
         layers.append(EdgeBlock(
             src=jnp.asarray(src_local), dst=jnp.asarray(dst_local),
@@ -173,7 +173,7 @@ def subset_features(features: Dict, outer_nodes: np.ndarray,
         rows = np.asarray(data)[mask]
         local = _local_ids(node_idx_np[mask], outer_sorted)
 
-        M = _bucket(count, row_bucket)
+        M = bucket(count, row_bucket)
         pad = M - count
         if pad:
             rows = np.concatenate(

@@ -132,30 +132,25 @@ class KnowledgeGraph:
                 continue
             yield o
 
+    def _property_kinds(self):
+        """One pass: properties used with >=1 non-literal object vs
+        literal-only properties."""
+        objecttype, any_prop = set(), set()
+        for _, p, o in self._triples:
+            any_prop.add(p)
+            if type(o) is not Literal:
+                objecttype.add(p)
+        return objecttype, any_prop - objecttype
+
     def objecttype_properties(self) -> Iterator[Term]:
         """Properties used with at least one non-literal object
         (reference: knowledge_graph.py:113-122)."""
-        attributes = frozenset(self.attributes())
-        seen = set()
-        for _, p, _ in self._triples:
-            if p in seen:
-                continue
-            objects = {o for _, pp, o in self._triples if pp == p}
-            if len(objects - attributes) <= 0:
-                continue
-            seen.add(p)
-            yield p
+        yield from self._property_kinds()[0]
 
     def datatype_properties(self) -> Iterator[Term]:
         """Properties used exclusively with literal objects
         (reference: knowledge_graph.py:124-132)."""
-        ot = set(self.objecttype_properties())
-        seen = set()
-        for _, p, _ in self._triples:
-            if p in ot or p in seen:
-                continue
-            seen.add(p)
-            yield p
+        yield from self._property_kinds()[1]
 
     def attributes(self) -> Iterator[Literal]:
         for _, _, o in self._triples:

@@ -9,7 +9,7 @@ feature arrays the MRGCN consumes.
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ import logging
 from dataclasses import dataclass
 from functools import partial
 from time import time
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -117,9 +117,9 @@ class NCBatch:
 
 
 def _pad_labels(idx, targets, bucket_min: int = 64):
-    from mrgcn_tpu.data.batching import _bucket
+    from mrgcn_tpu.data.batching import bucket
     m = len(idx)
-    M = _bucket(m, bucket_min)
+    M = bucket(m, bucket_min)
     pad = M - m
     idx = np.concatenate([idx, np.zeros(pad, dtype=np.int32)])
     targets = np.concatenate([targets, np.zeros(pad, dtype=np.int32)])

@@ -7,6 +7,13 @@ from mrgcn_tpu.encodings import features
 from mrgcn_tpu.encodings.xsd_hierarchy import XSDHierarchy
 
 
+def _ragged(arrays, dtype=None):
+    out = np.empty(len(arrays), dtype=object)
+    for i, a in enumerate(arrays):
+        out[i] = np.asarray(a, dtype=dtype)
+    return out
+
+
 # -- hierarchy & dispatch ----------------------------------------------------
 
 def test_hierarchy_numeric_supertype():
@@ -50,17 +57,11 @@ def test_merge_continuous_averages_duplicates():
 
 
 def test_merge_discrete_majority_vote():
-    def ragged(arrays):
-        out = np.empty(len(arrays), dtype=object)
-        for i, a in enumerate(arrays):
-            out[i] = np.asarray(a, dtype=np.int32)
-        return out
-
-    set_a = [ragged([[1, 2, 3]]), np.array([9], dtype=np.int32),
+    set_a = [_ragged([[1, 2, 3]]), np.array([9], dtype=np.int32),
              np.array([3])]
-    set_b = [ragged([[1, 5, 3, 7]]), np.array([9], dtype=np.int32),
+    set_b = [_ragged([[1, 5, 3, 7]]), np.array([9], dtype=np.int32),
              np.array([4])]
-    set_c = [ragged([[1, 5, 9]]), np.array([9], dtype=np.int32),
+    set_c = [_ragged([[1, 5, 9]]), np.array([9], dtype=np.int32),
              np.array([3])]
     merged = features.merge_discrete_sets([set_a, set_b, set_c])
     enc, idx, lengths = merged[0]
@@ -73,16 +74,10 @@ def test_merge_discrete_majority_vote():
 
 
 def test_merge_geometry_pads_and_averages():
-    def ragged(arrays):
-        out = np.empty(len(arrays), dtype=object)
-        for i, a in enumerate(arrays):
-            out[i] = np.asarray(a, dtype=np.float32)
-        return out
-
     g1 = np.ones((9, 4), dtype=np.float32)
     g2 = 3 * np.ones((9, 2), dtype=np.float32)
-    set_a = [ragged([g1]), np.array([2], dtype=np.int32), np.array([4])]
-    set_b = [ragged([g2]), np.array([2], dtype=np.int32), np.array([2])]
+    set_a = [_ragged([g1], dtype=np.float32), np.array([2], dtype=np.int32), np.array([4])]
+    set_b = [_ragged([g2], dtype=np.float32), np.array([2], dtype=np.int32), np.array([2])]
     merged = features.merge_geometry_sets([set_a, set_b])
     enc, idx, lengths = merged[0]
     assert lengths[0] == 4
@@ -118,14 +113,8 @@ def test_add_noise_changes_values():
 
 
 def test_trim_outliers_tokens_keep_final_token():
-    def ragged(arrays):
-        out = np.empty(len(arrays), dtype=object)
-        for i, a in enumerate(arrays):
-            out[i] = np.asarray(a, dtype=np.int32)
-        return out
-
     base = [list(range(k)) for k in (4, 5, 5, 5, 6, 6, 7, 8)]
-    seqs = ragged(base + [list(range(100))])
+    seqs = _ragged(base + [list(range(100))])
     lengths = np.array([len(s) for s in base] + [100])
     trimmed, _, new_lengths = features.trim_outliers(
         seqs, np.arange(9), lengths, time_axis=0)
@@ -134,13 +123,7 @@ def test_trim_outliers_tokens_keep_final_token():
 
 
 def test_remove_outliers_drops_rows():
-    def ragged(arrays):
-        out = np.empty(len(arrays), dtype=object)
-        for i, a in enumerate(arrays):
-            out[i] = np.asarray(a, dtype=np.int32)
-        return out
-
-    seqs = ragged([[1] * 5] * 8 + [[1] * 500] + [[2] * 6] * 3)
+    seqs = _ragged([[1] * 5] * 8 + [[1] * 500] + [[2] * 6] * 3)
     lengths = np.array([5] * 8 + [500] + [6] * 3)
     kept, idx, new_lengths = features.remove_outliers(
         seqs, np.arange(12), lengths)
@@ -160,14 +143,8 @@ def test_remove_outliers_no_iqr_is_identity():
 # -- densify -------------------------------------------------------------------
 
 def test_densify_tokens_pad_symbol():
-    def ragged(arrays):
-        out = np.empty(len(arrays), dtype=object)
-        for i, a in enumerate(arrays):
-            out[i] = np.asarray(a, dtype=np.int32)
-        return out
-
     X = [np.empty((4, 0)),
-         ["xsd.string", [[ragged([[1, 2], [3]]), np.array([0, 1]),
+         ["xsd.string", [[_ragged([[1, 2], [3]]), np.array([0, 1]),
                           np.array([2, 1])]]]]
     out = features.densify(X, pad_symbols={"xsd.string": 99})
     dense = out[1][1][0][0]
@@ -175,14 +152,8 @@ def test_densify_tokens_pad_symbol():
 
 
 def test_densify_geometry_min_length():
-    def ragged(arrays):
-        out = np.empty(len(arrays), dtype=object)
-        for i, a in enumerate(arrays):
-            out[i] = np.asarray(a, dtype=np.float32)
-        return out
-
     X = [np.empty((4, 0)),
-         ["ogc.wktLiteral", [[ragged([np.ones((9, 5))]), np.array([0]),
+         ["ogc.wktLiteral", [[_ragged([np.ones((9, 5))]), np.array([0]),
                               np.array([5])]]]]
     out = features.densify(X, min_lengths={"ogc.wktLiteral": 20})
     dense = out[1][1][0][0]

@@ -180,6 +180,16 @@ class KnowledgeGraph:
         freq = Counter(o for _, p, o in self._triples if p == prop)
         return freq.most_common(limit)
 
+    # -- operators --------------------------------------------------------
+
+    def sample(self, strategy=None, **kwargs) -> "KnowledgeGraph":
+        """Sample this graph with a user-provided strategy object
+        (reference: knowledge_graph.py:161-169)."""
+        if strategy is None:
+            raise ValueError("Strategy cannot be left undefined")
+        logger.debug("Sampling graph")
+        return strategy.sample(self, **kwargs)
+
     # -- determinism ----------------------------------------------------
 
     @staticmethod

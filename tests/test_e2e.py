@@ -112,3 +112,32 @@ def test_nc_checkpoint_roundtrip(nc_artifact, tmp_path):
         art, config, tsv2, featureless=False, test_split="valid",
         checkpoint=ckpt, seed=3)
     assert epoch2 == 3
+
+
+def test_nc_separate_literals_end_to_end(tmp_path):
+    """separate_literals: equal literal values become distinct nodes
+    (UniqueLiteral semantics through the whole pipeline)."""
+    import copy
+    paths = synth.make_nc_dataset(str(tmp_path), num_entities=30)
+    config = apply_defaults(synth.nc_config(paths, epochs=15))
+    config["graph"]["structural"]["separate_literals"] = True
+
+    A, F, Y, data, sample_map, class_map = build(config)
+    path = str(tmp_path / "ds.npz")
+    artifact_io.save(path, A, F, Y=Y, data=data, sample_map=sample_map,
+                     class_map=class_map)
+    art = artifact_io.load(path)
+
+    # with separated literals there are at least as many nodes as with
+    # shared ones (each literal occurrence is its own node)
+    config2 = copy.deepcopy(config)
+    config2["graph"]["structural"]["separate_literals"] = False
+    A2, *_ = build(config2)
+    assert art.structure.num_nodes >= A2.num_nodes
+
+    tsv = TSV("/dev/null", "w", dry_run=True)
+    _, _, loss, acc, _, _ = node_classification.run(
+        art, config, tsv, featureless=False, test_split="test",
+        checkpoint=None, seed=3)
+    assert np.isfinite(loss)
+    assert acc >= 0.5

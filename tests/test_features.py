@@ -159,3 +159,16 @@ def test_densify_geometry_min_length():
     dense = out[1][1][0][0]
     assert dense.shape == (1, 9, 20)
     assert dense[0, 0, 4] == 1.0 and dense[0, 0, 5] == 0.0
+
+
+def test_stack_encoding_sets():
+    set_a = [np.array([[1.0, 2.0]], dtype=np.float32),
+             np.array([3], dtype=np.int32), np.array([2.0])]
+    set_b = [np.array([[5.0]], dtype=np.float32),
+             np.array([7], dtype=np.int32), np.array([1.0])]
+    merged = features.stack_encoding_sets([set_a, set_b])
+    enc, idx, lengths = merged[0]
+    assert enc.shape == (2, 3)
+    np.testing.assert_array_equal(idx, [3, 7])
+    np.testing.assert_allclose(enc[0], [1.0, 2.0, 0.0])  # node 3: a only
+    np.testing.assert_allclose(enc[1], [0.0, 0.0, 5.0])  # node 7: b only

@@ -95,3 +95,32 @@ def test_phase_timer():
         pass
     assert t.counts["alpha"] == 2
     assert "alpha" in t.summary()
+
+
+def test_nc_tsv_format(tmp_path):
+    """The NC metrics TSV keeps the reference's 7-column layout."""
+    from mrgcn_tpu.config import apply_defaults
+    from mrgcn_tpu.data import artifact as artifact_io
+    from mrgcn_tpu.mkdataset import build
+    from mrgcn_tpu.tasks import node_classification
+    from tests import synth
+
+    paths = synth.make_nc_dataset(str(tmp_path), num_entities=20)
+    config = apply_defaults(synth.nc_config(paths, epochs=2))
+    A, F, Y, data, sample_map, class_map = build(config)
+    p = str(tmp_path / "d.npz")
+    artifact_io.save(p, A, F, Y=Y, data=data, sample_map=sample_map,
+                     class_map=class_map)
+
+    out = str(tmp_path / "acc.tsv")
+    w = TSV(out, "w")
+    node_classification.run(artifact_io.load(p), config, w,
+                            featureless=False, test_split="valid",
+                            checkpoint=None, seed=1)
+    lines = open(out).read().strip().split("\n")
+    header = lines[0].split("\t")
+    assert header == ["epoch", "training_loss", "training_accurary",
+                      "validation_loss", "validation_accuracy",
+                      "test_loss", "test_accuracy"]
+    assert all(len(line.split("\t")) == 7 for line in lines)
+    assert len(lines) == 1 + 2 + 1  # header + 2 epochs + final test row

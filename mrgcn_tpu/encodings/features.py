@@ -192,7 +192,10 @@ def construct_feature_matrix(F: Dict[str, List], features_enabled: Set[str],
                         if k.startswith("optim_")}
         optimizer_config[datatype] = optim_params
 
-        encoding_sets = F.pop(datatype, [])
+        # do NOT pop: the caller's F belongs to the loaded artifact, which
+        # may drive several runs in one process (reference pops —
+        # graph_features.py:127 — but reloads the tarball per process)
+        encoding_sets = F.get(datatype, [])
 
         weight_sharing = getConfParam(feature_config, "share_weights", False)
         if weight_sharing:
@@ -213,6 +216,10 @@ def construct_feature_matrix(F: Dict[str, List], features_enabled: Set[str],
             if datatype in ("xsd.string", "xsd.anyURI"):
                 logger.warning("Noise unsupported for datatype %s", datatype)
             else:
+                # copy before the in-place noise so the artifact's arrays
+                # survive for reuse within the process
+                encoding_sets = [[np.copy(s[0]), *s[1:]]
+                                 for s in encoding_sets]
                 add_noise_(encoding_sets, p_noise, noise_mp)
 
         num_encoding_sets = len(encoding_sets)

@@ -40,11 +40,14 @@ def run_jax_epochs(w, steps: int = 10) -> float:
     hidden, C = w["hidden"], w["num_classes"]
 
     from mrgcn_tpu.encodings.structure import group_by_relation
-    grouping = group_by_relation(
-        np.asarray(w["src"], dtype=np.int32),
-        np.asarray(w["dst"], dtype=np.int32),
-        np.asarray(w["rel"], dtype=np.int32),
-        np.asarray(w["norm"], dtype=np.float32), n)
+    from mrgcn_tpu.ops import pallas_gather as pg
+    src_np = np.asarray(w["src"], dtype=np.int32)
+    dst_np = np.asarray(w["dst"], dtype=np.int32)
+    rel_np = np.asarray(w["rel"], dtype=np.int32)
+    norm_np = np.asarray(w["norm"], dtype=np.float32)
+    grouping = group_by_relation(src_np, dst_np, rel_np, norm_np, n)
+    plans = pg.plans_for_widths(src_np, dst_np, rel_np, norm_np, n,
+                                [hidden, C])
     edges = EdgeBlock(src=jnp.asarray(w["src"], dtype=jnp.int32),
                       dst=jnp.asarray(w["dst"], dtype=jnp.int32),
                       rel=jnp.asarray(w["rel"], dtype=jnp.int32),
@@ -54,7 +57,8 @@ def run_jax_epochs(w, steps: int = 10) -> float:
                       grp_dst=jnp.asarray(grouping.dst),
                       grp_norm=jnp.asarray(grouping.norm),
                       group_rel=jnp.asarray(grouping.group_rel),
-                      group_size=grouping.group_size)
+                      group_size=grouping.group_size,
+                      plans=plans)
 
     model = RGCN(hidden_dims=(hidden, C), num_relations=R, num_nodes=n,
                  num_bases=B, featureless=True)

@@ -48,6 +48,17 @@ class EdgeBlock:
     grp_norm: Optional[jnp.ndarray] = None
     group_rel: Optional[jnp.ndarray] = None
     group_size: Optional[int] = struct.field(pytree_node=False, default=None)
+    # gather plans keyed by packing factor k (see ops/pallas_gather.py) —
+    # the kernel-gather fast path; built for full-batch edges only
+    # (dst == dst_global), dict keys are static pytree structure
+    plans: Optional[dict] = None
+
+    def plan_for(self, width: int):
+        """Gather plan matching a table of logical row width ``width``
+        (the packing factor is a function of the width alone)."""
+        if not self.plans or self.dst_global is not None:
+            return None
+        return self.plans.get(rspmm.packing_factor(width))
 
     @property
     def identity_dst(self) -> jnp.ndarray:
@@ -104,22 +115,36 @@ class RGCNLayer(nn.Module):
             fan_shape = (S * self.num_nodes, self.out_dim)
             shape, k = rspmm.packed_identity_shape(S, self.num_nodes,
                                                    self.out_dim)
+            plan_i = edges.plan_for(self.out_dim)
             if k > 1:
                 weight_i = self.param(
                     "weight_i_packed",
                     tinit.packed_xavier_uniform(fan_shape, self.num_nodes,
                                                 self.out_dim, k),
                     shape)
-                out = rspmm.gather_aggregate_packed(
-                    weight_i, edges.src, edges.identity_dst, edges.rel,
-                    edges.norm, edges.num_out, self.out_dim, k, comp=comp_i)
+                out = None
+                if plan_i is not None:
+                    out = rspmm.gather_aggregate_planned(
+                        plan_i, edges.num_out, self.out_dim,
+                        packed=weight_i, comp=comp_i)
+                if out is None:
+                    out = rspmm.gather_aggregate_packed(
+                        weight_i, edges.src, edges.identity_dst, edges.rel,
+                        edges.norm, edges.num_out, self.out_dim, k,
+                        comp=comp_i)
             else:
                 weight_i = self.param(
                     "weight_i", tinit.xavier_uniform(fan_shape=fan_shape),
                     (S, self.num_nodes, self.out_dim))
-                out = rspmm.gather_aggregate(
-                    weight_i, edges.src, edges.identity_dst, edges.rel,
-                    edges.norm, edges.num_out, comp=comp_i)
+                out = None
+                if plan_i is not None:
+                    out = rspmm.gather_aggregate_planned(
+                        plan_i, edges.num_out, self.out_dim,
+                        node_weights=weight_i, comp=comp_i)
+                if out is None:
+                    out = rspmm.gather_aggregate(
+                        weight_i, edges.src, edges.identity_dst, edges.rel,
+                        edges.norm, edges.num_out, comp=comp_i)
 
             if self.featureless:
                 if self.use_bias:
@@ -129,15 +154,21 @@ class RGCNLayer(nn.Module):
 
         weight_f = self.param("weight_f", tinit.xavier_uniform(),
                               (S, H.shape[-1], self.out_dim))
-        if edges.grouped:
-            out = out + rspmm.transform_aggregate_grouped(
+        plan_f = edges.plan_for(H.shape[-1])
+        agg = None
+        if plan_f is not None:
+            agg = rspmm.transform_aggregate_planned(
+                H, plan_f, weight_f, comp_f, edges.num_out)
+        if agg is None and edges.grouped:
+            agg = rspmm.transform_aggregate_grouped(
                 H, edges.grp_src, edges.grp_dst, edges.grp_norm,
                 edges.group_rel, edges.group_size, edges.num_out,
                 weight_f, comp=comp_f)
-        else:
-            out = out + rspmm.transform_aggregate(
+        elif agg is None:
+            agg = rspmm.transform_aggregate(
                 H, edges.src, edges.dst, edges.rel, edges.norm,
                 edges.num_out, weight_f, comp=comp_f)
+        out = out + agg
 
         if self.use_bias:
             out = out + self.param("bias", nn.initializers.zeros,

@@ -98,7 +98,26 @@ def prepare_inputs(artifact: Artifact, config: Dict,
     from mrgcn_tpu.encodings.structure import group_by_relation
     grouping = group_by_relation(structure.src, structure.dst,
                                  structure.rel, structure.norm, n)
-    edges = EdgeBlock(src=jnp.asarray(structure.src),
+
+    # gather plans: static edge layouts for the gather-fused kernel path
+    # (ops/pallas_gather.py) — one per distinct table packing factor
+    import os
+    plans = None
+    if os.environ.get("MRGCN_GATHER_PLAN", "1") != "0":
+        from mrgcn_tpu.ops import pallas_gather as pg
+        # the final LP config entry is not a layer and may omit
+        # hidden_nodes (see hidden_dims_from_config)
+        widths = [int(layer["hidden_nodes"])
+                  for layer in config["model"]["layers"]
+                  if "hidden_nodes" in layer]
+        if not featureless and X_width > 0:
+            widths.append(X_width)
+        plans = pg.plans_for_widths(structure.src, structure.dst,
+                                    structure.rel, structure.norm, n,
+                                    widths)
+
+    edges = EdgeBlock(plans=plans,
+                      src=jnp.asarray(structure.src),
                       dst=jnp.asarray(structure.dst),
                       rel=jnp.asarray(structure.rel),
                       norm=jnp.asarray(structure.norm),

@@ -33,6 +33,73 @@ from mrgcn_tpu.models.rgcn import EdgeBlock
 logger = logging.getLogger(__name__)
 
 
+def mesh_from_config(config: Dict) -> Optional[Mesh]:
+    """Build the training mesh when requested, else None (single device).
+
+    Spec sources (first match wins): the ``MRGCN_MESH`` environment
+    variable, then ``[task] mesh`` in the TOML config. Formats:
+    ``"auto"`` (all devices, data-parallel), ``"8"`` (8 devices,
+    data-parallel), ``"4x2"`` (data=4, model=2).
+    """
+    import os
+    spec = os.environ.get("MRGCN_MESH") or config.get("task", {}).get(
+        "mesh", "")
+    spec = str(spec).strip().lower()
+    if not spec or spec in ("0", "1", "none", "off"):
+        return None
+    if spec == "auto":
+        return make_mesh()
+    if "x" in spec:
+        data, model = (int(p) for p in spec.split("x", 1))
+        return make_mesh(data * model, model_axis=model)
+    return make_mesh(int(spec))
+
+
+def _pad_1d(x, target: int, value):
+    import jax.numpy as jnp
+    pad = target - x.shape[0]
+    if pad <= 0:
+        return x
+    return jnp.concatenate([x, jnp.full((pad,), value, dtype=x.dtype)])
+
+
+def pad_edges_for_mesh(edges: EdgeBlock, data_size: int) -> EdgeBlock:
+    """Pad edge arrays (and whole relation groups) so every edge-aligned
+    array divides evenly over the data axis. Padding carries ``norm == 0``
+    and scatters out of range."""
+    E = edges.src.shape[0]
+    target = -(-E // data_size) * data_size
+    kw = dict(src=_pad_1d(edges.src, target, edges.num_out),
+              dst=_pad_1d(edges.dst, target, 0),
+              rel=_pad_1d(edges.rel, target, 0),
+              norm=_pad_1d(edges.norm, target, 0.0),
+              num_out=edges.num_out, num_in=edges.num_in,
+              dst_global=(None if edges.dst_global is None else
+                          _pad_1d(edges.dst_global, target, 0)),
+              group_size=edges.group_size, plans=None)
+    if edges.grouped:
+        G = edges.group_rel.shape[0]
+        Gt = -(-G // data_size) * data_size
+        gs = edges.group_size
+        kw.update(grp_src=_pad_1d(edges.grp_src, Gt * gs, edges.num_out),
+                  grp_dst=_pad_1d(edges.grp_dst, Gt * gs, 0),
+                  grp_norm=_pad_1d(edges.grp_norm, Gt * gs, 0.0),
+                  group_rel=_pad_1d(edges.group_rel, Gt, 0))
+    return EdgeBlock(**kw)
+
+
+def shard_inputs(mesh: Mesh, inputs):
+    """Shard a :class:`mrgcn_tpu.tasks.common.RunInputs` for mesh training:
+    edge arrays and feature rows over ``data``. Gather plans are dropped —
+    the Pallas kernel path is single-device; under a mesh the XLA paths
+    shard via GSPMD."""
+    from dataclasses import replace
+    edges = pad_edges_for_mesh(inputs.edges, mesh.shape["data"])
+    edges = shard_edges(mesh, edges)
+    features = shard_features(mesh, inputs.features)
+    return replace(inputs, edges=edges, features=features)
+
+
 def make_mesh(n_devices: Optional[int] = None,
               model_axis: int = 1) -> Mesh:
     """1-or-2-D mesh over the first ``n_devices`` devices:

@@ -223,6 +223,12 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
     inputs = prepare_inputs(artifact, config, featureless)
     featureless = inputs.featureless
 
+    from mrgcn_tpu.parallel import mesh as pmesh
+    mesh = pmesh.mesh_from_config(config)
+    if mesh is not None:
+        logger.info("Training under device mesh %s", dict(mesh.shape))
+        inputs = pmesh.shard_inputs(mesh, inputs)
+
     Y = {k: np.asarray(v).reshape(-1, 2) for k, v in artifact.Y.items()}
     num_classes = len(artifact.class_map)
 
@@ -240,6 +246,8 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
     variables = model.init(init_rng, inputs.features, inputs.edges)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    if mesh is not None:
+        params = pmesh.shard_params(mesh, params)
 
     optimizer = tutils.build_optimizer(params, config,
                                        inputs.optimizer_config, featureless)

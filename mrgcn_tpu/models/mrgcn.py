@@ -131,8 +131,21 @@ class MRGCN(nn.Module):
                                       p_dropout=dropout, name=name)
             elif datatype == "blob.image":
                 model_cfg, transform_cfg, dim_out, dropout = args
-                encoders[name] = ImageCNN(output_dim=dim_out,
-                                          p_dropout=dropout, name=name)
+                backbone = None
+                if model_cfg:
+                    from mrgcn_tpu.models.mobilenet import \
+                        load_image_backbone
+                    backbone = load_image_backbone(model_cfg)
+                if backbone is not None:
+                    from mrgcn_tpu.models.pretrained import \
+                        PretrainedImageEncoder
+                    module, variables = backbone
+                    encoders[name] = PretrainedImageEncoder(
+                        backbone=module, backbone_variables=variables,
+                        output_dim=dim_out, p_dropout=dropout, name=name)
+                else:
+                    encoders[name] = ImageCNN(output_dim=dim_out,
+                                              p_dropout=dropout, name=name)
             dims[name] = dim_out
         self.encoders = encoders
         self.encoder_dims = dims

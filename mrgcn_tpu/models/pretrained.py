@@ -19,6 +19,7 @@ from __future__ import annotations
 import logging
 from typing import Optional, Tuple
 
+import jax.numpy as jnp
 from flax import linen as nn
 
 from mrgcn_tpu.models import init as tinit
@@ -49,6 +50,34 @@ def load_text_backbone(hub_spec) -> Optional[Tuple]:
         logger.info("Pretrained LM %s unavailable locally; using the "
                     "from-scratch text encoder", name)
         return None
+
+
+class PretrainedImageEncoder(nn.Module):
+    """Frozen pretrained vision backbone + trainable head: global average
+    pool -> pre_fc -> ReLU -> dropout -> fc
+    (reference: mrgcn/models/imagecnn.py:9-41).
+
+    ``backbone_variables`` (params + batch_stats) are stored as constants —
+    the reference freezes the base model too (imagecnn.py:17-19) — so only
+    the head trains. Input: (N, H, W, C) float32, already normalised.
+    """
+
+    backbone: nn.Module
+    backbone_variables: dict
+    output_dim: int
+    p_dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feats = self.backbone.apply(self.backbone_variables, x)
+        pooled = jnp.mean(feats, axis=(1, 2))   # AdaptiveAvgPool2d(1)
+        inter = pooled.shape[-1]
+        pooled = nn.Dense(inter,
+                          kernel_init=tinit.torch_linear_kernel())(pooled)
+        pooled = nn.relu(pooled)
+        pooled = nn.Dropout(self.p_dropout, deterministic=not train)(pooled)
+        return nn.Dense(self.output_dim,
+                        kernel_init=tinit.torch_linear_kernel())(pooled)
 
 
 class PretrainedTextEncoder(nn.Module):

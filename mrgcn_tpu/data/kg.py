@@ -19,17 +19,57 @@ from mrgcn_tpu.data.rdf import Literal, UniqueLiteral
 logger = logging.getLogger(__name__)
 
 
+def _format_of(path: str) -> str:
+    """RDF serialisation by extension (.gz-transparent). The reference
+    defers to rdflib's format guessing
+    (reference: data/io/knowledge_graph.py:45-56)."""
+    stem = path[:-3] if path.endswith(".gz") else path
+    ext = stem.rsplit(".", 1)[-1].lower() if "." in stem else ""
+    if ext in ("nt", "ntriples", "nq"):
+        return "ntriples"
+    if ext in ("ttl", "turtle", "n3"):
+        return "turtle"
+    raise ValueError(
+        f"Unsupported RDF serialisation {'.' + ext if ext else path!r}: "
+        f"{path}. Supported: N-Triples (.nt[.gz]) and Turtle (.ttl[.gz]).")
+
+
 def _read_path(path: str):
-    """Prefer the native C++ parser (mrgcn_tpu/native/ntparse.cpp); fall back
-    to the pure-Python parser."""
+    """Parse one RDF file. N-Triples prefers the native C++ parser
+    (mrgcn_tpu/native/ntparse.cpp) with a pure-Python fallback; Turtle uses
+    the in-tree parser. Fails loudly when a non-empty file parses to zero
+    triples — a silent empty graph poisons everything downstream."""
+    fmt = _format_of(path)
+    if fmt == "turtle":
+        from mrgcn_tpu.data import turtle
+        return turtle.parse_file(path)
+
+    triples = None
     try:
         from mrgcn_tpu.data.native import parse_file_native
         triples = parse_file_native(path)
-        if triples is not None:
-            return triples
     except Exception:  # pragma: no cover - any native failure falls back
         logger.debug("native parser unavailable for %s", path, exc_info=True)
-    return parse_file(path)
+    if triples is None:
+        triples = list(parse_file(path))
+    if not triples and _has_content(path):
+        raise ValueError(
+            f"{path}: no valid N-Triples statements found in a non-empty "
+            "file — wrong serialisation? (Turtle needs a .ttl extension)")
+    return triples
+
+
+def _has_content(path: str) -> bool:
+    import gzip
+    import io
+    opener = gzip.open if path.endswith(".gz") else open
+    with io.TextIOWrapper(opener(path, "rb"), encoding="utf-8",
+                          errors="replace") as f:
+        for line in f:
+            stripped = line.strip()
+            if stripped and not stripped.startswith("#"):
+                return True
+    return False
 
 
 class KnowledgeGraph:

@@ -1,0 +1,169 @@
+"""Turtle parser tests + fail-loud ingestion dispatch.
+
+Reference capability: any-format RDF input via rdflib
+(reference: mrgcn/data/io/knowledge_graph.py:45-56). mrgcn_tpu implements
+N-Triples + Turtle in-tree; anything else must fail loudly (VERDICT r1:
+a .ttl pointed at the N-Triples parser silently produced an empty graph).
+"""
+
+import gzip
+
+import pytest
+
+from mrgcn_tpu.data import ntriples, turtle
+from mrgcn_tpu.data.kg import KnowledgeGraph
+from mrgcn_tpu.data.rdf import IRI, BNode, Literal
+
+
+def T(text):
+    return set(turtle.parse_text(text))
+
+
+def test_basic_triples_and_prefixes():
+    got = T("""
+        @prefix ex: <http://example.org/> .
+        @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        ex:s ex:p ex:o .
+        ex:s ex:q "plain" .
+        ex:s ex:q "tagged"@en-GB .
+        ex:s ex:n "3.5"^^xsd:double .
+    """)
+    ex = "http://example.org/"
+    assert (IRI(ex + "s"), IRI(ex + "p"), IRI(ex + "o")) in got
+    assert (IRI(ex + "s"), IRI(ex + "q"), Literal("plain")) in got
+    assert (IRI(ex + "s"), IRI(ex + "q"),
+            Literal("tagged", language="en-GB")) in got
+    assert (IRI(ex + "s"), IRI(ex + "n"),
+            Literal("3.5", datatype=turtle.XSD_NS + "double")) in got
+
+
+def test_predicate_and_object_lists_and_a():
+    got = T("""
+        @prefix ex: <http://example.org/> .
+        ex:s a ex:T ;
+             ex:p ex:o1 , ex:o2 ;
+             ex:q "v" .
+    """)
+    ex = "http://example.org/"
+    assert len(got) == 4
+    assert (IRI(ex + "s"), turtle.RDF_TYPE, IRI(ex + "T")) in got
+    assert (IRI(ex + "s"), IRI(ex + "p"), IRI(ex + "o2")) in got
+
+
+def test_numeric_boolean_shorthand():
+    got = T("""@prefix ex: <http://example.org/> .
+        ex:s ex:i 42 ; ex:d 3.14 ; ex:e 1e3 ; ex:b true ; ex:f false .""")
+    vals = {(str(p), o) for _, p, o in got}
+    assert ("http://example.org/i",
+            Literal("42", datatype=turtle.XSD_NS + "integer")) in vals
+    assert ("http://example.org/d",
+            Literal("3.14", datatype=turtle.XSD_NS + "decimal")) in vals
+    assert ("http://example.org/e",
+            Literal("1e3", datatype=turtle.XSD_NS + "double")) in vals
+    assert ("http://example.org/b",
+            Literal("true", datatype=turtle.XSD_NS + "boolean")) in vals
+
+
+def test_no_space_before_final_dot():
+    got = T("@prefix ex: <http://e/> . ex:s ex:p ex:o.")
+    assert (IRI("http://e/s"), IRI("http://e/p"), IRI("http://e/o")) in got
+
+
+def test_blank_nodes_and_anon():
+    got = T("""
+        @prefix ex: <http://example.org/> .
+        _:b1 ex:p ex:o .
+        ex:s ex:knows [ ex:name "anna" ; ex:age 7 ] .
+    """)
+    assert (BNode("b1"), IRI("http://example.org/p"),
+            IRI("http://example.org/o")) in got
+    anon = [o for s, p, o in got
+            if str(p) == "http://example.org/knows"]
+    assert len(anon) == 1 and isinstance(anon[0], BNode)
+    names = [(s, o) for s, p, o in got
+             if str(p) == "http://example.org/name"]
+    assert names == [(anon[0], Literal("anna"))]
+
+
+def test_collections():
+    got = T("""@prefix ex: <http://e/> .
+        ex:s ex:list ( ex:a ex:b ) .
+        ex:t ex:empty ( ) .""")
+    firsts = [(s, o) for s, p, o in got if p == turtle.RDF_FIRST]
+    rests = [(s, o) for s, p, o in got if p == turtle.RDF_REST]
+    assert len(firsts) == 2 and len(rests) == 2
+    assert any(o == turtle.RDF_NIL for _, o in rests)
+    assert (IRI("http://e/t"), IRI("http://e/empty"),
+            turtle.RDF_NIL) in got
+
+
+def test_long_strings_and_escapes():
+    got = T('''@prefix ex: <http://e/> .
+        ex:s ex:p """multi
+line "quoted" text""" ; ex:q "tab\\there" .''')
+    objs = {o.lexical for _, _, o in got if isinstance(o, Literal)}
+    assert 'multi\nline "quoted" text' in objs
+    assert "tab\there" in objs
+
+
+def test_base_resolution_and_sparql_directives():
+    got = T("""
+        BASE <http://example.org/data/>
+        PREFIX ex: <http://example.org/>
+        <item1> ex:p <sub/item2> .
+    """)
+    assert (IRI("http://example.org/data/item1"),
+            IRI("http://example.org/p"),
+            IRI("http://example.org/data/sub/item2")) in got
+
+
+def test_turtle_matches_ntriples_on_equivalent_content():
+    nt = """
+<http://e/s> <http://e/p> <http://e/o> .
+<http://e/s> <http://e/q> "lit"@nl .
+<http://e/s> <http://e/r> "5"^^<http://www.w3.org/2001/XMLSchema#integer> .
+"""
+    ttl = """
+@prefix e: <http://e/> .
+e:s e:p e:o ; e:q "lit"@nl ; e:r 5 .
+"""
+    got_nt = set(ntriples.parse_lines(nt.splitlines()))
+    got_ttl = T(ttl)
+    assert got_nt == got_ttl
+
+
+def test_parse_error_reports_line():
+    with pytest.raises(turtle.TurtleError, match="line 3"):
+        turtle.parse_text("@prefix ex: <http://e/> .\n"
+                          "ex:s ex:p ex:o .\n"
+                          "ex:s ex:p ; .\n")
+
+
+def test_kg_reads_turtle_files(tmp_path):
+    ttl = tmp_path / "g.ttl.gz"
+    with gzip.open(ttl, "wt") as f:
+        f.write("@prefix ex: <http://e/> .\n"
+                "ex:a ex:p ex:b .\n ex:b ex:p ex:c .\n")
+    kg = KnowledgeGraph(str(ttl))
+    assert len(kg) == 2
+
+
+def test_kg_rejects_unknown_extension(tmp_path):
+    bad = tmp_path / "g.rdfxml"
+    bad.write_text("<rdf/>")
+    with pytest.raises(ValueError, match="Unsupported RDF serialisation"):
+        KnowledgeGraph(str(bad))
+
+
+def test_kg_fails_loudly_on_turtle_named_nt(tmp_path):
+    """A Turtle file with a .nt extension must not yield an empty graph."""
+    bad = tmp_path / "g.nt"
+    bad.write_text("@prefix ex: <http://e/> .\nex:s ex:p ex:o .\n")
+    with pytest.raises(ValueError, match="no valid N-Triples"):
+        KnowledgeGraph(str(bad))
+
+
+def test_kg_accepts_empty_file(tmp_path):
+    empty = tmp_path / "g.nt"
+    empty.write_text("# just a comment\n")
+    assert len(KnowledgeGraph(str(empty))) == 0

@@ -130,7 +130,7 @@ def main(argv=None) -> int:
 
     if args.save_checkpoint:
         params, opt_state, batch_stats = state
-        f_state = base + f"_model_state_{epoch}.pkl"
+        f_state = base + f"_model_state_{epoch}.npz"
         tutils.save_checkpoint(f_state, epoch, params, opt_state,
                                batch_stats, loss)
         print(f"[SAVE] Writing model state to {f_state}")

@@ -286,7 +286,7 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
         print("[LOAD] Loading model state", end="")
         state = tutils.load_checkpoint(checkpoint)
         params = jax.tree.map(jnp.asarray, state["params"])
-        opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
+        opt_state = tutils.restore_opt_state(opt_state, state["opt_state"])
         batch_stats = jax.tree.map(jnp.asarray, state["batch_stats"])
         epoch = state["epoch"]
         print(f" - {epoch} epoch")

@@ -156,21 +156,86 @@ class EarlyStop:
         self.best_state = jax.tree.map(np.asarray, state)
 
 
+def _flatten_state(tree, prefix: str, out: Dict) -> None:
+    from flax import serialization
+    sd = serialization.to_state_dict(tree)
+
+    def walk(node, key):
+        if isinstance(node, dict):
+            if not node:
+                # e.g. optax EmptyState: keep the empty node so the chain
+                # structure survives the round trip
+                out[f"{key}/__empty__"] = np.zeros(0, dtype=np.int8)
+            for k, v in node.items():
+                walk(v, f"{key}/{k}")
+        else:
+            out[key] = np.asarray(node)
+
+    walk(sd, prefix)
+
+
+def _unflatten_state(npz, prefix: str):
+    root: Dict = {}
+    for key in npz.files:
+        if not key.startswith(prefix + "/"):
+            continue
+        parts = key[len(prefix) + 1:].split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        if parts[-1] != "__empty__":
+            node[parts[-1]] = npz[key]
+    return root
+
+
 def save_checkpoint(path: str, epoch: int, params, opt_state, batch_stats,
                     loss: float) -> None:
     """Persist ``{epoch, params, optimizer state, batch stats, loss}``
-    (reference: run.py:230-236)."""
-    state = {
-        "epoch": epoch,
-        "params": jax.tree.map(np.asarray, params),
-        "opt_state": jax.tree.map(np.asarray, opt_state),
-        "batch_stats": jax.tree.map(np.asarray, batch_stats),
-        "loss": float(loss),
-    }
+    (reference: run.py:230-236) as a **pickle-free** npz archive: loading
+    never executes code, unlike the reference's torch.save format."""
+    flat: Dict = {}
+    _flatten_state(params, "params", flat)
+    _flatten_state(opt_state, "opt_state", flat)
+    _flatten_state(batch_stats, "batch_stats", flat)
+    flat["meta/epoch"] = np.asarray(epoch, dtype=np.int64)
+    flat["meta/loss"] = np.asarray(float(loss), dtype=np.float64)
     with open(path, "wb") as f:
-        pickle.dump(state, f)
+        np.savez(f, **flat)
 
 
 def load_checkpoint(path: str) -> Dict:
+    """Read an npz checkpoint (or a legacy pickle from earlier builds —
+    logged, since unpickling executes arbitrary code).
+
+    ``params``/``batch_stats`` come back as nested dicts (tree-mappable);
+    ``opt_state`` is a nested state dict — restore it onto a freshly
+    initialised optimizer state with :func:`restore_opt_state`.
+    """
     with open(path, "rb") as f:
-        return pickle.load(f)
+        magic = f.read(2)
+    if magic == b"PK":  # zip container: npz
+        npz = np.load(path, allow_pickle=False)
+        return {
+            "epoch": int(npz["meta/epoch"]),
+            "loss": float(npz["meta/loss"]),
+            "params": _unflatten_state(npz, "params"),
+            "opt_state": _unflatten_state(npz, "opt_state"),
+            "batch_stats": _unflatten_state(npz, "batch_stats"),
+            "format": "npz",
+        }
+    logger.warning("%s is a legacy pickle checkpoint; loading it executes "
+                   "code — prefer the npz format", path)
+    with open(path, "rb") as f:
+        state = pickle.load(f)
+    state["format"] = "pickle"
+    return state
+
+
+def restore_opt_state(template, stored):
+    """Rebuild a typed optax state pytree from a loaded checkpoint:
+    npz checkpoints store a plain nested state dict, pickle checkpoints the
+    original pytree."""
+    if isinstance(stored, dict) and not isinstance(template, dict):
+        from flax import serialization
+        return serialization.from_state_dict(template, stored)
+    return jax.tree.map(jnp.asarray, stored)

@@ -104,3 +104,50 @@ def test_config_defaults():
     assert cfg["graph"]["features"][0]["embedding_dim"] == 16
     assert cfg["model"]["num_bases"] == 0
     assert cfg["task"]["early_stopping"]["patience"] == -1
+
+
+def test_npz_checkpoint_roundtrip_no_pickle(tmp_path):
+    """Checkpoints are pickle-free npz; optimizer state (typed optax
+    pytree incl. Adam moments) survives exactly via restore_opt_state."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from mrgcn_tpu.tasks import utils as tutils
+
+    params = {"layer": {"kernel": jnp.arange(6, dtype=jnp.float32
+                                             ).reshape(2, 3),
+                        "bias": jnp.ones((3,))}}
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0),
+                            optax.adam(1e-2))
+    opt_state = optimizer.init(params)
+    # step once so the Adam moments are non-trivial
+    grads = jax.tree.map(jnp.ones_like, params)
+    _, opt_state = optimizer.update(grads, opt_state, params)
+    stats = {"bn": {"mean": jnp.zeros((3,)) + 0.5}}
+
+    path = str(tmp_path / "state.npz")
+    tutils.save_checkpoint(path, epoch=7, params=params,
+                           opt_state=opt_state, batch_stats=stats,
+                           loss=0.25)
+
+    with open(path, "rb") as f:
+        assert f.read(2) == b"PK"  # zip (npz), not a pickle
+    state = tutils.load_checkpoint(path)
+    assert state["format"] == "npz"
+    assert state["epoch"] == 7 and abs(state["loss"] - 0.25) < 1e-12
+
+    p2 = jax.tree.map(jnp.asarray, state["params"])
+    np.testing.assert_array_equal(np.asarray(p2["layer"]["kernel"]),
+                                  np.asarray(params["layer"]["kernel"]))
+
+    restored = tutils.restore_opt_state(optimizer.init(params),
+                                        state["opt_state"])
+    # same pytree structure (typed optax state) and identical leaves
+    a = jax.tree_util.tree_structure(restored)
+    b = jax.tree_util.tree_structure(opt_state)
+    assert a == b
+    for x, y in zip(jax.tree_util.tree_leaves(restored),
+                    jax.tree_util.tree_leaves(opt_state)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

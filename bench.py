@@ -40,14 +40,14 @@ def run_jax_epochs(w, steps: int = 10) -> float:
     hidden, C = w["hidden"], w["num_classes"]
 
     from mrgcn_tpu.encodings.structure import group_by_relation
-    from mrgcn_tpu.ops import pallas_gather as pg
+    from mrgcn_tpu.ops import relational as rl
     src_np = np.asarray(w["src"], dtype=np.int32)
     dst_np = np.asarray(w["dst"], dtype=np.int32)
     rel_np = np.asarray(w["rel"], dtype=np.int32)
     norm_np = np.asarray(w["norm"], dtype=np.float32)
     grouping = group_by_relation(src_np, dst_np, rel_np, norm_np, n)
-    plans = pg.plans_for_widths(src_np, dst_np, rel_np, norm_np, n,
-                                [hidden, C])
+    plans = rl.plans_for_layers(src_np, dst_np, rel_np, norm_np, n,
+                                [(None, hidden), (hidden, C)])
     edges = EdgeBlock(src=jnp.asarray(w["src"], dtype=jnp.int32),
                       dst=jnp.asarray(w["dst"], dtype=jnp.int32),
                       rel=jnp.asarray(w["rel"], dtype=jnp.int32),
@@ -71,7 +71,6 @@ def run_jax_epochs(w, steps: int = 10) -> float:
     labels_idx = jnp.asarray(w["labels_idx"], dtype=jnp.int32)
     labels_cls = jnp.asarray(w["labels_cls"], dtype=jnp.int32)
 
-    @jax.jit
     def train_step(params, opt_state):
         def loss_fn(p):
             out = model.apply({"params": p}, None, edges)
@@ -84,16 +83,38 @@ def run_jax_epochs(w, steps: int = 10) -> float:
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    params, opt_state, loss = train_step(params, opt_state)  # compile+warmup
-    jax.block_until_ready(loss)
+    # Timing protocol (see benchmarks/timing.py): jax.block_until_ready
+    # does NOT synchronize on the axon remote backend, and buffers that
+    # cross separate jit dispatches are materialised through the tunnel
+    # (~1 s for this model's 0.5 GB state — an artifact a real deployment
+    # never pays: training loops run device-resident). So run K dependent
+    # steps inside ONE jit via fori_loop, fetch the final loss, and
+    # subtract the 1-step run.
+    @jax.jit
+    def run_epochs(params, opt_state, k):
+        def body(_, carry):
+            params, opt_state, _ = carry
+            return train_step(params, opt_state)
+        params, opt_state, loss = jax.lax.fori_loop(
+            0, k, body, (params, opt_state, jnp.float32(0)))
+        return params, opt_state, loss
 
-    times = []
-    for _ in range(steps):
+    def run(params, opt_state, k):
         t0 = time.time()
-        params, opt_state, loss = train_step(params, opt_state)
-        jax.block_until_ready(loss)
-        times.append(time.time() - t0)
-    return float(np.median(times))
+        params, opt_state, loss = run_epochs(params, opt_state,
+                                             jnp.int32(k))
+        float(loss)   # device->host fetch forces completion
+        return time.time() - t0, params, opt_state
+
+    _, params, opt_state = run(params, opt_state, 1)  # compile + warmup
+
+    t1s, tks = [], []
+    for _ in range(3):
+        t1, params, opt_state = run(params, opt_state, 1)
+        tk, params, opt_state = run(params, opt_state, steps + 1)
+        t1s.append(t1)
+        tks.append(tk)
+    return float((np.median(tks) - np.median(t1s)) / steps)
 
 
 def main() -> int:

@@ -48,17 +48,19 @@ class EdgeBlock:
     grp_norm: Optional[jnp.ndarray] = None
     group_rel: Optional[jnp.ndarray] = None
     group_size: Optional[int] = struct.field(pytree_node=False, default=None)
-    # gather plans keyed by packing factor k (see ops/pallas_gather.py) —
-    # the kernel-gather fast path; built for full-batch edges only
+    # sorted-stream layer plans keyed by "kin:kout" (see ops/relational.py)
+    # — the Pallas fast path; built for full-batch edges only
     # (dst == dst_global), dict keys are static pytree structure
     plans: Optional[dict] = None
 
-    def plan_for(self, width: int):
-        """Gather plan matching a table of logical row width ``width``
-        (the packing factor is a function of the width alone)."""
+    def plan_for(self, in_width: int, out_width: int):
+        """LayerPlans matching a layer shape (packing factors are functions
+        of the widths alone, so layers of equal widths share plans)."""
         if not self.plans or self.dst_global is not None:
             return None
-        return self.plans.get(rspmm.packing_factor(width))
+        k_in = rspmm.packing_factor(in_width)
+        k_out = rspmm.packing_factor(out_width)
+        return self.plans.get(f"{k_in}:{k_out}")
 
     @property
     def identity_dst(self) -> jnp.ndarray:
@@ -67,6 +69,38 @@ class EdgeBlock:
     @property
     def grouped(self) -> bool:
         return self.group_rel is not None
+
+
+def _identity_planned_packed(packed, comp, plan, out_dim):
+    """Featureless input layer on the sorted-stream engine: compose the
+    relation-major packed table (one matmul) and hand it to the layer op.
+    ``packed``: (S, n_rows, 128)."""
+    from mrgcn_tpu.ops import relational as rl
+    S, n_rows, lw = packed.shape
+    pk = jnp.pad(packed, ((0, 0), (0, plan.n_in_rows - n_rows), (0, 0)))
+    if comp is not None:
+        flat = jnp.einsum("rs,sgl->rgl", comp, pk,
+                          preferred_element_type=jnp.float32)
+    else:
+        flat = pk
+    table = flat.reshape(-1, lw)
+    return rl.featureless_aggregate(table, plan, out_dim)
+
+
+def _identity_planned_wide(weight_i, comp, plan, out_dim):
+    """Featureless input layer, unpacked (wide out_dim) weights:
+    ``weight_i``: (S, n, out)."""
+    from mrgcn_tpu.ops import relational as rl
+    S, n, out = weight_i.shape
+    lw = rl.line_width(1, out)
+    w = jnp.pad(weight_i, ((0, 0), (0, plan.n_in_rows - n),
+                           (0, lw - out)))
+    if comp is not None:
+        flat = jnp.einsum("rs,sgl->rgl", comp, w,
+                          preferred_element_type=jnp.float32)
+    else:
+        flat = w
+    return rl.featureless_aggregate(flat.reshape(-1, lw), plan, out_dim)
 
 
 class RGCNLayer(nn.Module):
@@ -115,19 +149,17 @@ class RGCNLayer(nn.Module):
             fan_shape = (S * self.num_nodes, self.out_dim)
             shape, k = rspmm.packed_identity_shape(S, self.num_nodes,
                                                    self.out_dim)
-            plan_i = edges.plan_for(self.out_dim)
+            plan_i = edges.plan_for(self.out_dim, self.out_dim)
             if k > 1:
                 weight_i = self.param(
                     "weight_i_packed",
                     tinit.packed_xavier_uniform(fan_shape, self.num_nodes,
                                                 self.out_dim, k),
                     shape)
-                out = None
                 if plan_i is not None:
-                    out = rspmm.gather_aggregate_planned(
-                        plan_i, edges.num_out, self.out_dim,
-                        packed=weight_i, comp=comp_i)
-                if out is None:
+                    out = _identity_planned_packed(weight_i, comp_i,
+                                                   plan_i, self.out_dim)
+                else:
                     out = rspmm.gather_aggregate_packed(
                         weight_i, edges.src, edges.identity_dst, edges.rel,
                         edges.norm, edges.num_out, self.out_dim, k,
@@ -136,12 +168,10 @@ class RGCNLayer(nn.Module):
                 weight_i = self.param(
                     "weight_i", tinit.xavier_uniform(fan_shape=fan_shape),
                     (S, self.num_nodes, self.out_dim))
-                out = None
                 if plan_i is not None:
-                    out = rspmm.gather_aggregate_planned(
-                        plan_i, edges.num_out, self.out_dim,
-                        node_weights=weight_i, comp=comp_i)
-                if out is None:
+                    out = _identity_planned_wide(weight_i, comp_i, plan_i,
+                                                 self.out_dim)
+                else:
                     out = rspmm.gather_aggregate(
                         weight_i, edges.src, edges.identity_dst, edges.rel,
                         edges.norm, edges.num_out, comp=comp_i)
@@ -154,11 +184,13 @@ class RGCNLayer(nn.Module):
 
         weight_f = self.param("weight_f", tinit.xavier_uniform(),
                               (S, H.shape[-1], self.out_dim))
-        plan_f = edges.plan_for(H.shape[-1])
+        plan_f = edges.plan_for(H.shape[-1], self.out_dim)
         agg = None
         if plan_f is not None:
-            agg = rspmm.transform_aggregate_planned(
-                H, plan_f, weight_f, comp_f, edges.num_out)
+            from mrgcn_tpu.ops import relational as rl
+            W = rspmm._compose_weights(weight_f, comp_f)
+            agg = rl.dense_aggregate(H, W, plan_f, H.shape[-1],
+                                     self.out_dim)
         if agg is None and edges.grouped:
             agg = rspmm.transform_aggregate_grouped(
                 H, edges.grp_src, edges.grp_dst, edges.grp_norm,

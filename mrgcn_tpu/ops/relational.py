@@ -1,0 +1,396 @@
+"""Plan-driven relational layers: sorted-stream kernels end to end.
+
+Measured primitive costs on a v5e (benchmarks/timing.py protocol; E~850k):
+
+=====================================  ==========
+op                                     per call
+=====================================  ==========
+XLA row gather, table < ~16 MB          ~0.5 ms
+XLA row gather, larger table            ~5-6 ms
+XLA scatter-add (segment_sum)           ~13.6 ms (worse into big tables)
+pallas sorted_gather (block stream)     0.7-4.3 ms
+pallas sorted_scatter (block stream)    ~1 ms
+=====================================  ==========
+
+The design follows directly:
+
+* **Forward runs on a src-sorted edge stream**: the output scatter — the
+  most expensive XLA op — becomes
+  :func:`..pallas_gather.sorted_scatter` (one-hot MXU matmuls into a
+  VMEM-resident block accumulator). Gathers stay in XLA.
+* **Backward runs on table-sorted streams**: the cotangent scatter into
+  the relation-major weight table has block structure under a (rel, dst)
+  sort, so it is also a ``sorted_scatter``; likewise d_H under a dst sort.
+  Per-edge quantities are RECOMPUTED on the backward stream from
+  node-sized tensors (one cheap small-table gather) — no E-sized tensor
+  ever crosses between differently-sorted streams, so the slow unsorted
+  permutations never appear.
+
+All per-edge index arrays are static graph structure, prepared once on the
+host (:func:`build_layer_plans`).
+
+Reference computation being replaced: ``A @ [I F] W`` over the hstacked
+sparse adjacency (reference: mrgcn/layers/graph.py:62-102).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from mrgcn_tpu.ops.pallas_gather import (EDGE_BLOCK, ROW_BLOCK,
+                                         sorted_gather, sorted_scatter)
+
+
+# --------------------------------------------------------------------------
+# host-side planning
+# --------------------------------------------------------------------------
+
+def _segment_layout(major, minor, block_of_edge, edge_block):
+    """Order edges by (major, minor), split where the block id changes,
+    pad each segment to a multiple of ``edge_block``."""
+    E = len(block_of_edge)
+    order = np.lexsort((minor, major))
+    blk = np.asarray(block_of_edge)[order]
+    if E == 0:
+        return (order, np.zeros(0, np.int64), edge_block,
+                np.zeros(1, np.int64))
+    boundaries = np.flatnonzero(np.diff(blk)) + 1
+    seg_starts = np.concatenate([[0], boundaries, [E]]).astype(np.int64)
+    lengths = np.diff(seg_starts)
+    padded = -(-lengths // edge_block) * edge_block
+    out_starts = np.concatenate([[0], np.cumsum(padded)])
+    E_pad = int(out_starts[-1])
+    seg_of_edge = np.repeat(np.arange(len(lengths)), lengths)
+    slots = out_starts[seg_of_edge] + (np.arange(E)
+                                       - seg_starts[seg_of_edge])
+    slab_seg = np.repeat(np.arange(len(lengths)),
+                         (padded // edge_block).astype(np.int64))
+    slab_blk = blk[seg_starts[:-1]][slab_seg]
+    return order, slots, E_pad, slab_blk
+
+
+@struct.dataclass
+class Stream:
+    """One sorted, slab-padded view of the edge list (device pytree).
+
+    ``scatter_local``/``scatter_blk`` address THIS stream's scatter target
+    (the layer output for the forward stream; the packed table / packed H
+    for backward streams); the remaining per-edge fields carry everything
+    any stream needs to recompute messages from node-sized tensors:
+    ``src_row``/``out_mod`` (packed output row of the edge), ``gather_row``
+    (packed input-table row *without* the relation offset), ``in_mod``,
+    ``rel``, ``norm`` (0 on padding).
+    """
+
+    scatter_local: jnp.ndarray  # (nslab, EB); row_block on padding
+    scatter_blk: jnp.ndarray    # (nslab,) non-decreasing
+    src_row: jnp.ndarray        # (E_pad,) packed output row (src // k_out)
+    out_mod: jnp.ndarray        # (E_pad,) src % k_out
+    gather_row: jnp.ndarray     # (E_pad,) packed input row (dst // k_in)
+    in_mod: jnp.ndarray         # (E_pad,) dst % k_in
+    rel: jnp.ndarray            # (E_pad,)
+    norm: jnp.ndarray           # (E_pad,)
+    slab_rel: jnp.ndarray       # (nslab,) relation per slab (relation-major
+    #                             streams only)
+    edge_block: int = struct.field(pytree_node=False)
+    row_block: int = struct.field(pytree_node=False)
+
+    @property
+    def num_padded_edges(self) -> int:
+        return int(self.gather_row.shape[0])
+
+    @property
+    def num_slabs(self) -> int:
+        return int(self.scatter_blk.shape[0])
+
+
+@struct.dataclass
+class LayerPlans:
+    """All sorted streams one full-batch R-GCN layer needs.
+
+    ``fwd``: src-sorted, scatters to the layer output.
+    ``bwd_table``: (rel, dst)-sorted, scatters into the relation-major
+      table; its slabs are relation-constant (also used for d_W grouping).
+    ``bwd_h``: dst-sorted, scatters into packed H (dense layers only).
+    """
+
+    fwd: Stream
+    bwd_table: Stream
+    bwd_h: Stream
+    k_in: int = struct.field(pytree_node=False)
+    k_out: int = struct.field(pytree_node=False)
+    n_in_rows: int = struct.field(pytree_node=False)
+    n_out_rows: int = struct.field(pytree_node=False)
+    num_nodes: int = struct.field(pytree_node=False)
+
+
+def _pad_rows(num_nodes: int, k: int, row_block: int) -> int:
+    rows = -(-num_nodes // k)
+    return max(1, -(-rows // row_block)) * row_block
+
+
+def build_layer_plans(src, dst, rel, norm, num_nodes: int, k_in: int,
+                      k_out: int, row_block: int = ROW_BLOCK,
+                      edge_block: int = EDGE_BLOCK) -> LayerPlans:
+    """Host-side: the three sorted edge streams for one layer shape.
+
+    ``k_in`` = packing factor of the gathered table's logical row width,
+    ``k_out`` = packing factor of the output width.
+    """
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    rel = np.asarray(rel, dtype=np.int64)
+    norm = np.asarray(norm, dtype=np.float32)
+
+    n_in_rows = _pad_rows(num_nodes, k_in, row_block)
+    n_out_rows = _pad_rows(num_nodes, k_out, row_block)
+    in_row = dst // k_in
+    out_row = src // k_out
+    flat_row = rel * n_in_rows + in_row
+
+    def mk(major, minor, scatter_row):
+        order, slots, E_pad, slab_blk = _segment_layout(
+            major, minor, scatter_row // row_block, edge_block)
+        nslab = E_pad // edge_block
+
+        def place(arr, fill, dtype=np.int32):
+            out = np.full(E_pad, fill, dtype=dtype)
+            out[slots] = np.asarray(arr)[order]
+            return out
+
+        local = place(scatter_row % row_block, row_block)
+        relp = place(rel, 0)
+        return Stream(
+            scatter_local=jnp.asarray(
+                local.reshape(nslab, edge_block)),
+            scatter_blk=jnp.asarray(slab_blk.astype(np.int32)),
+            src_row=jnp.asarray(place(out_row, 0)),
+            out_mod=jnp.asarray(place(src % k_out, 0)),
+            gather_row=jnp.asarray(place(in_row, 0)),
+            in_mod=jnp.asarray(place(dst % k_in, 0)),
+            rel=jnp.asarray(relp),
+            norm=jnp.asarray(place(norm, 0.0, np.float32)),
+            slab_rel=jnp.asarray(
+                relp.reshape(nslab, edge_block)[:, 0].copy()),
+            edge_block=edge_block, row_block=row_block)
+
+    fwd = mk(src, flat_row, out_row)
+    bwd_table = mk(rel, dst, flat_row)
+    bwd_h = mk(in_row, rel, in_row)
+    return LayerPlans(fwd=fwd, bwd_table=bwd_table, bwd_h=bwd_h,
+                      k_in=int(k_in), k_out=int(k_out),
+                      n_in_rows=int(n_in_rows),
+                      n_out_rows=int(n_out_rows),
+                      num_nodes=int(num_nodes))
+
+
+def plans_for_layers(src, dst, rel, norm, num_nodes: int, layer_shapes,
+                     row_block: int = ROW_BLOCK,
+                     edge_block: int = EDGE_BLOCK) -> dict:
+    """One :class:`LayerPlans` per distinct (k_in, k_out) pair, keyed
+    ``"kin:kout"``. ``layer_shapes``: iterable of (in_width, out_width);
+    ``in_width=None`` marks the featureless/identity gather (k_in ==
+    k_out). Plans depend only on the packing factors, so layers of equal
+    widths share."""
+    from mrgcn_tpu.ops.rspmm import packing_factor
+    pairs = set()
+    for in_w, out_w in layer_shapes:
+        k_out = packing_factor(int(out_w))
+        k_in = k_out if in_w is None else packing_factor(int(in_w))
+        pairs.add((k_in, k_out))
+    return {f"{ki}:{ko}": build_layer_plans(
+        src, dst, rel, norm, num_nodes, ki, ko,
+        row_block=row_block, edge_block=edge_block)
+        for ki, ko in sorted(pairs)}
+
+
+# --------------------------------------------------------------------------
+# packing helpers (jit-side, cheap reshapes)
+# --------------------------------------------------------------------------
+
+def line_width(k: int, d: int) -> int:
+    """Packed line width: 128 lanes for k > 1, d padded to a lane multiple
+    for unpacked wide rows."""
+    return 128 if k > 1 else -(-d // 128) * 128
+
+
+def pack_rows(X: jnp.ndarray, k: int, padded_rows: int) -> jnp.ndarray:
+    """(n, d) -> (padded_rows, L): k logical rows per L-lane line."""
+    n, d = X.shape
+    lw = line_width(k, d)
+    sub = lw // k
+    Xp = jnp.pad(X, ((0, padded_rows * k - n), (0, sub - d)))
+    return Xp.reshape(padded_rows, lw)
+
+
+def unpack_rows(P: jnp.ndarray, k: int, n: int, d: int) -> jnp.ndarray:
+    sub = P.shape[1] // k
+    return P.reshape(P.shape[0] * k, sub)[:n, :d]
+
+
+def _select_sub(G: jnp.ndarray, mod: jnp.ndarray, k: int, d: int
+                ) -> jnp.ndarray:
+    """Per-edge sub-row select: (E, 128) -> (E, d)."""
+    if k == 1:
+        return G[:, :d]
+    sub = G.shape[1] // k
+    sel = jax.nn.one_hot(mod, k, dtype=G.dtype)
+    return jnp.einsum("ek,eks->es", sel, G.reshape(-1, k, sub)[:, :, :d])
+
+
+def _expand_sub(v: jnp.ndarray, mod: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Per-edge sub-row placement: (E, d) -> (E, line_width)."""
+    sub = line_width(k, v.shape[1]) // k
+    vp = jnp.pad(v, ((0, 0), (0, sub - v.shape[1])))
+    if k == 1:
+        return vp
+    sel = jax.nn.one_hot(mod, k, dtype=v.dtype)
+    return (sel[:, :, None] * vp[:, None, :]).reshape(-1, k * sub)
+
+
+# --------------------------------------------------------------------------
+# featureless layer: out[src] += norm * table[rel, dst]
+# --------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def featureless_aggregate(table: jnp.ndarray, plans: LayerPlans,
+                          out_dim: int, interpret: bool = False
+                          ) -> jnp.ndarray:
+    """``out[s] = sum_e norm_e * select(table[rel_e * nrp + dst_e // k])``.
+
+    ``table``: relation-major packed weight table (R * n_in_rows, 128),
+    typically ``compose(comp, packed)`` — autodiff upstream of this op
+    turns the returned d_table into d_comp / d_basis. The table's logical
+    row width is ``out_dim`` (k_in == k_out). Returns (num_nodes, out_dim).
+    """
+    f = plans.fwd
+    rows = f.rel * plans.n_in_rows + f.gather_row
+    G = table[rows]                                    # XLA gather
+    v = _select_sub(G, f.in_mod, plans.k_in, out_dim) * f.norm[:, None]
+    msgs = _expand_sub(v, f.out_mod, plans.k_out)
+    out = sorted_scatter(msgs, f.scatter_local, f.scatter_blk,
+                         plans.n_out_rows, f.row_block, f.edge_block,
+                         interpret)
+    return unpack_rows(out, plans.k_out, plans.num_nodes, out_dim)
+
+
+def _featureless_fwd(table, plans, out_dim, interpret):
+    out = featureless_aggregate(table, plans, out_dim, interpret)
+    # the table residual is a reference (alive in the params anyway)
+    return out, (table, plans)
+
+
+def _featureless_bwd(out_dim, interpret, res, d_out):
+    table, plans = res
+    table_rows = table.shape[0]
+    b = plans.bwd_table
+    # recompute the per-edge cotangent on the (rel, dst)-sorted stream from
+    # the node-sized d_out: one small-table gather, no permutation
+    d_out_p = pack_rows(d_out, plans.k_out, plans.n_out_rows)
+    d_lines = d_out_p[b.src_row]                       # (E, 128) small tbl
+    d_v = _select_sub(d_lines, b.out_mod, plans.k_out, out_dim) \
+        * b.norm[:, None]
+    d_G = _expand_sub(d_v, b.in_mod, plans.k_in)       # (E, 128)
+    d_table = sorted_scatter(d_G, b.scatter_local, b.scatter_blk,
+                             table_rows, b.row_block, b.edge_block,
+                             interpret)
+    # slice off the line-padding the packed layout may carry
+    d_table = d_table[:, :table.shape[1]].astype(table.dtype)
+    return d_table, None
+
+
+featureless_aggregate.defvjp(_featureless_fwd, _featureless_bwd)
+
+
+# --------------------------------------------------------------------------
+# dense layer: out[src] += norm * (H[dst] @ W[rel])
+# --------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def dense_aggregate(H: jnp.ndarray, W: jnp.ndarray, plans: LayerPlans,
+                    in_dim: int, out_dim: int,
+                    interpret: bool = False) -> jnp.ndarray:
+    """``out[s] = sum_e norm_e * H[dst_e] @ W[rel_e]``.
+
+    ``H``: (num_nodes, in_dim); ``W``: (R, in_dim, out_dim) — composed
+    weights (basis decomposition handled by the caller's compose, whose
+    autodiff consumes the d_W this op returns).
+    """
+    f = plans.fwd
+    Hp = pack_rows(H, plans.k_in, plans.n_in_rows)
+    Hg = _select_sub(Hp[f.gather_row], f.in_mod, plans.k_in, in_dim)
+    # per-edge weight rows from the tiny (R, in*out) table
+    Wg = W.reshape(-1, in_dim * out_dim)[f.rel].reshape(
+        -1, in_dim, out_dim)
+    v = jnp.einsum("ei,eio->eo", Hg, Wg) * f.norm[:, None]
+    msgs = _expand_sub(v, f.out_mod, plans.k_out)
+    out = sorted_scatter(msgs, f.scatter_local, f.scatter_blk,
+                         plans.n_out_rows, f.row_block, f.edge_block,
+                         interpret)
+    return unpack_rows(out, plans.k_out, plans.num_nodes, out_dim)
+
+
+def _dense_fwd(H, W, plans, in_dim, out_dim, interpret):
+    out = dense_aggregate(H, W, plans, in_dim, out_dim, interpret)
+    return out, (H, W, plans)
+
+
+def _dense_bwd(in_dim, out_dim, interpret, res, d_out):
+    H, W, plans = res
+    d_out_p = pack_rows(d_out, plans.k_out, plans.n_out_rows)
+
+    # ---- d_H on the dst-sorted stream: d_H[dst] += norm (d_out[src] W^T)
+    h = plans.bwd_h
+    d_v_h = _select_sub(d_out_p[h.src_row], h.out_mod, plans.k_out,
+                        out_dim) * h.norm[:, None]
+    WgT = W.reshape(-1, in_dim * out_dim)[h.rel].reshape(
+        -1, in_dim, out_dim)
+    d_Hg = jnp.einsum("eo,eio->ei", d_v_h, WgT)
+    d_Hp = sorted_scatter(_expand_sub(d_Hg, h.in_mod, plans.k_in),
+                          h.scatter_local, h.scatter_blk, plans.n_in_rows,
+                          h.row_block, h.edge_block, interpret)
+    d_H = unpack_rows(d_Hp, plans.k_in, plans.num_nodes, in_dim
+                      ).astype(H.dtype)
+
+    # ---- d_W on the (rel, dst)-sorted stream: slabs are relation-constant
+    # so per-slab (in x out) outer-product sums are batched MXU matmuls,
+    # then a tiny segment-sum over slabs by relation
+    t = plans.bwd_table
+    eb = t.edge_block
+    nslab = t.num_slabs
+    Hp = pack_rows(H, plans.k_in, plans.n_in_rows)
+    Hg_t = _select_sub(Hp[t.gather_row], t.in_mod, plans.k_in, in_dim)
+    d_v_t = _select_sub(d_out_p[t.src_row], t.out_mod, plans.k_out,
+                        out_dim) * t.norm[:, None]
+    per_slab = jax.lax.dot_general(
+        Hg_t.reshape(nslab, eb, in_dim), d_v_t.reshape(nslab, eb, out_dim),
+        (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)            # (nslab, in, out)
+    d_W = jax.ops.segment_sum(per_slab.reshape(nslab, in_dim * out_dim),
+                              t.slab_rel, num_segments=W.shape[0])
+    d_W = d_W.reshape(W.shape).astype(W.dtype)
+    return d_H, d_W, None
+
+
+dense_aggregate.defvjp(_dense_fwd, _dense_bwd)
+
+
+# --------------------------------------------------------------------------
+# dense reference oracle (tests)
+# --------------------------------------------------------------------------
+
+def reference_featureless(table, plans: LayerPlans, out_dim, src, dst,
+                          rel, norm):
+    k = plans.k_in
+    sub = 128 // k
+    rows = rel * plans.n_in_rows + dst // k
+    lines = np.asarray(table)[rows]
+    v = lines.reshape(-1, k, sub)[np.arange(len(dst)), dst % k, :out_dim]
+    out = np.zeros((plans.num_nodes, out_dim), np.float32)
+    np.add.at(out, src, v * norm[:, None])
+    return out

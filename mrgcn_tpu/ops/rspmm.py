@@ -277,122 +277,6 @@ def gather_aggregate(node_weights: jnp.ndarray, src: jnp.ndarray,
                                   gather_dtype=_gather_dtype())
 
 
-# --------------------------------------------------------------------------
-# Plan-driven paths (gather-fused Pallas kernel; see ops/pallas_gather.py)
-# --------------------------------------------------------------------------
-
-# budget for materialising the composed (R * padded_rows, 128) table
-PLANNED_TABLE_BUDGET_ELEMS = 2 ** 28  # 1 GiB f32
-
-
-def gather_aggregate_planned(plan, num_nodes: int, out_dim: int,
-                             packed: Optional[jnp.ndarray] = None,
-                             node_weights: Optional[jnp.ndarray] = None,
-                             comp: Optional[jnp.ndarray] = None,
-                             interpret: bool = False
-                             ) -> Optional[jnp.ndarray]:
-    """Featureless input layer over a gather plan.
-
-    Exactly one of ``packed`` (S, n_rows, 128) / ``node_weights``
-    (S, n, out) is given. Returns None when the plan cannot serve this
-    shape (caller falls back to the unplanned path).
-    """
-    from mrgcn_tpu.ops import pallas_gather as pg
-
-    if packed is not None:
-        S, n_rows, _ = packed.shape
-        R = S if comp is None else comp.shape[0]
-        if R * plan.padded_rows * 128 > PLANNED_TABLE_BUDGET_ELEMS:
-            return None
-        pk = jnp.pad(packed, ((0, 0), (0, plan.padded_rows - n_rows),
-                              (0, 0)))
-        if comp is not None:
-            flat = jnp.einsum("rs,sgl->rgl", comp, pk,
-                              preferred_element_type=jnp.float32)
-        else:
-            flat = pk
-        table = flat.reshape(-1, 128)
-        msgs = pg.planned_gather_packed(table, plan, out_dim,
-                                        interpret=interpret)
-        return segment_sum(msgs, plan.src, num_nodes)
-
-    # k == 1 layouts: wide rows, fused per-edge basis mix
-    S, n, out = node_weights.shape
-    assert plan.k == 1
-    if comp is None:
-        # rows indexed (rel, dst): lay the table out (S * padded_rows, out)
-        if S * plan.padded_rows * _pad128(out) > PLANNED_TABLE_BUDGET_ELEMS:
-            return None
-        table = jnp.pad(node_weights,
-                        ((0, 0), (0, plan.padded_rows - n), (0, 0)))
-        table = table.reshape(S * plan.padded_rows, out)
-        w = jax.lax.stop_gradient(plan.norm[:, None])
-        msgs = pg.planned_gather_mixed(table, w, plan, 1, out, out,
-                                       interpret=interpret)
-        return segment_sum(msgs, plan.src, num_nodes)
-
-    # basis mix: table rows indexed by dst only, J = S bases per row
-    table = jnp.transpose(node_weights, (1, 0, 2)).reshape(n, S * out)
-    table = jnp.pad(table, ((0, plan.padded_rows - n), (0, 0)))
-    w = _block_mix_weights(plan, comp)
-    msgs = pg.planned_gather_mixed(table, w, plan, S, out, out,
-                                   interpret=interpret)
-    return segment_sum(msgs, plan.src, num_nodes)
-
-
-def _block_mix_weights(plan, comp: jnp.ndarray) -> jnp.ndarray:
-    """Per-edge mixing weights ``comp[rel_e] * norm_e`` without a per-edge
-    gather: the relation is constant within each edge slab, so gather
-    per-slab rows (cheap) and broadcast."""
-    nblk = plan.block_rel.shape[0]
-    eb = plan.edge_block
-    cb = comp[plan.block_rel]                                # (nblk, B)
-    w = cb[:, None, :] * plan.norm.reshape(nblk, eb)[:, :, None]
-    return w.reshape(nblk * eb, comp.shape[1])
-
-
-def transform_aggregate_planned(H: jnp.ndarray, plan, basis: jnp.ndarray,
-                                comp: Optional[jnp.ndarray],
-                                num_nodes: int,
-                                interpret: bool = False
-                                ) -> Optional[jnp.ndarray]:
-    """Dense-feature aggregation over a gather plan: kernel-gather the
-    packed activation rows, then one relation-grouped batched matmul per
-    edge slab (the slab's relation is constant by construction)."""
-    from mrgcn_tpu.ops import pallas_gather as pg
-
-    in_dim = H.shape[1]
-    out_dim = basis.shape[-1]
-    k = plan.k
-    if k > 1:
-        if in_dim > 128 // k:
-            return None
-        table = pg.pack_table(H, k, plan.padded_rows)
-        Hg = pg.planned_gather_packed(table, plan, in_dim,
-                                      interpret=interpret)
-    else:
-        L = _pad128(in_dim)
-        table = jnp.pad(H, ((0, plan.padded_rows - H.shape[0]),
-                            (0, L - in_dim)))
-        w = jax.lax.stop_gradient(plan.norm[:, None])
-        Hg = pg.planned_gather_mixed(table, w, plan, 1, L, in_dim,
-                                     interpret=interpret)
-
-    W = _compose_weights(basis, comp)              # (R, in, out)
-    R = W.shape[0]
-    nblk = plan.block_rel.shape[0]
-    eb = plan.edge_block
-    # slab weights via one-hot matmul (avoids an nblk-row gather)
-    onehot = jax.nn.one_hot(plan.block_rel, R, dtype=W.dtype)
-    Wg = (onehot @ W.reshape(R, in_dim * out_dim)).reshape(
-        nblk, in_dim, out_dim)
-    m = jax.lax.dot_general(
-        Hg.reshape(nblk, eb, in_dim), Wg,
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)        # (nblk, eb, out)
-    return segment_sum(m.reshape(nblk * eb, out_dim), plan.src, num_nodes)
-
-
 def reference_dense_check(H, src, dst, rel, norm, num_nodes, num_relations,
                           W):
     """Slow dense oracle for tests: materialise the reference's hstacked

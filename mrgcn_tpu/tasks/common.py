@@ -99,22 +99,24 @@ def prepare_inputs(artifact: Artifact, config: Dict,
     grouping = group_by_relation(structure.src, structure.dst,
                                  structure.rel, structure.norm, n)
 
-    # gather plans: static edge layouts for the gather-fused kernel path
-    # (ops/pallas_gather.py) — one per distinct table packing factor
+    # sorted-stream layer plans: static edge layouts for the Pallas
+    # scatter/gather engine (ops/relational.py), one per layer shape
     import os
     plans = None
     if os.environ.get("MRGCN_GATHER_PLAN", "1") != "0":
-        from mrgcn_tpu.ops import pallas_gather as pg
-        # the final LP config entry is not a layer and may omit
-        # hidden_nodes (see hidden_dims_from_config)
-        widths = [int(layer["hidden_nodes"])
-                  for layer in config["model"]["layers"]
-                  if "hidden_nodes" in layer]
+        from mrgcn_tpu.ops import relational as rl
+        task = config.get("task", {}).get("type", "")
+        out_final = len(artifact.class_map) \
+            if task == "node classification" and artifact.class_map \
+            else None
+        dims = list(hidden_dims_from_config(config, out_final))
+        shapes = [(None, dims[0])]                     # identity gather
         if not featureless and X_width > 0:
-            widths.append(X_width)
-        plans = pg.plans_for_widths(structure.src, structure.dst,
+            shapes.append((X_width, dims[0]))
+        shapes.extend((dims[i - 1], dims[i]) for i in range(1, len(dims)))
+        plans = rl.plans_for_layers(structure.src, structure.dst,
                                     structure.rel, structure.norm, n,
-                                    widths)
+                                    shapes)
 
     edges = EdgeBlock(plans=plans,
                       src=jnp.asarray(structure.src),

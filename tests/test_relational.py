@@ -1,0 +1,206 @@
+"""Oracle tests for the sorted-stream relational engine (ops/relational.py).
+
+Forward must match the brute-force dense oracle; gradients must match
+autodiff through the dense oracle (the custom VJPs recompute per-edge
+cotangents on differently-sorted streams — any indexing slip shows here).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mrgcn_tpu.ops import relational as rl
+from mrgcn_tpu.ops import rspmm
+
+
+def random_graph(seed=0, n=57, R=7, E=311):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, E).astype(np.int32)
+    dst = rng.integers(0, n, E).astype(np.int32)
+    rel = rng.integers(0, R, E).astype(np.int32)
+    norm = rng.random(E).astype(np.float32)
+    return src, dst, rel, norm, n, R, E
+
+
+def dense_oracle(H, W, src, dst, rel, norm, n):
+    """out[s] += norm * H[dst] @ W[rel] — jnp, differentiable."""
+    msgs = jnp.einsum("ei,eio->eo", H[dst], W[rel]) * norm[:, None]
+    return jax.ops.segment_sum(msgs, src, num_segments=n)
+
+
+@pytest.mark.parametrize("out_dim", [16, 14, 200, 96])
+def test_featureless_fwd_and_grad(out_dim):
+    src, dst, rel, norm, n, R, E = random_graph(seed=out_dim)
+    rng = np.random.default_rng(1)
+    k = rspmm.packing_factor(out_dim)
+    plans = rl.build_layer_plans(src, dst, rel, norm, n, k, k,
+                                 row_block=16, edge_block=8)
+    lw = rl.line_width(k, out_dim)
+    table = jnp.asarray(rng.standard_normal(
+        (R * plans.n_in_rows, lw)).astype(np.float32))
+
+    got = rl.featureless_aggregate(table, plans, out_dim)
+    # oracle: unpack the table into per-(rel, node) weight rows
+    W = rl.unpack_rows(table.reshape(R * plans.n_in_rows, lw),
+                       k, R * plans.n_in_rows * k, out_dim)
+    W = W.reshape(R, plans.n_in_rows * k, out_dim)[:, :n, :]
+    want = jax.ops.segment_sum(
+        W[rel, dst] * jnp.asarray(norm)[:, None],
+        jnp.asarray(src), num_segments=n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    # gradient w.r.t. the table
+    cot = jnp.asarray(rng.standard_normal((n, out_dim)).astype(np.float32))
+
+    def loss_new(t):
+        return jnp.vdot(rl.featureless_aggregate(t, plans, out_dim), cot)
+
+    def loss_ref(t):
+        W = rl.unpack_rows(t, k, R * plans.n_in_rows * k, out_dim)
+        W = W.reshape(R, plans.n_in_rows * k, out_dim)[:, :n, :]
+        return jnp.vdot(jax.ops.segment_sum(
+            W[rel, dst] * jnp.asarray(norm)[:, None],
+            jnp.asarray(src), num_segments=n), cot)
+
+    g1 = jax.grad(loss_new)(table)
+    g2 = jax.grad(loss_ref)(table)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("in_dim,out_dim", [(16, 14), (16, 16),
+                                            (200, 200), (70, 30),
+                                            (14, 96)])
+def test_dense_fwd_and_grad(in_dim, out_dim):
+    src, dst, rel, norm, n, R, E = random_graph(seed=in_dim + out_dim)
+    rng = np.random.default_rng(2)
+    k_in = rspmm.packing_factor(in_dim)
+    k_out = rspmm.packing_factor(out_dim)
+    plans = rl.build_layer_plans(src, dst, rel, norm, n, k_in, k_out,
+                                 row_block=16, edge_block=8)
+    H = jnp.asarray(rng.standard_normal((n, in_dim)).astype(np.float32))
+    W = jnp.asarray(
+        rng.standard_normal((R, in_dim, out_dim)).astype(np.float32))
+    normj, srcj = jnp.asarray(norm), jnp.asarray(src)
+
+    got = rl.dense_aggregate(H, W, plans, in_dim, out_dim)
+    want = dense_oracle(H, W, srcj, jnp.asarray(dst), jnp.asarray(rel),
+                        normj, n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    cot = jnp.asarray(rng.standard_normal((n, out_dim)).astype(np.float32))
+
+    def loss_new(H, W):
+        return jnp.vdot(rl.dense_aggregate(H, W, plans, in_dim, out_dim),
+                        cot)
+
+    def loss_ref(H, W):
+        return jnp.vdot(dense_oracle(H, W, srcj, jnp.asarray(dst),
+                                     jnp.asarray(rel), normj, n), cot)
+
+    g1 = jax.grad(loss_new, argnums=(0, 1))(H, W)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(H, W)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)
+
+
+def test_pallas_interpret_parity(monkeypatch):
+    """The Pallas scatter/gather kernels (interpret mode) reproduce the XLA
+    fallback bit-for-bit paths within f32 matmul tolerance."""
+    src, dst, rel, norm, n, R, E = random_graph(seed=31, n=40, E=150)
+    rng = np.random.default_rng(6)
+    in_dim, out_dim = 16, 14
+    k_in = rspmm.packing_factor(in_dim)
+    k_out = rspmm.packing_factor(out_dim)
+    plans = rl.build_layer_plans(src, dst, rel, norm, n, k_in, k_out,
+                                 row_block=16, edge_block=8)
+    H = jnp.asarray(rng.standard_normal((n, in_dim)).astype(np.float32))
+    W = jnp.asarray(
+        rng.standard_normal((R, in_dim, out_dim)).astype(np.float32))
+
+    want = rl.dense_aggregate(H, W, plans, in_dim, out_dim)
+    cot = jnp.asarray(rng.standard_normal((n, out_dim)).astype(np.float32))
+    gw = jax.grad(lambda H, W: jnp.vdot(
+        rl.dense_aggregate(H, W, plans, in_dim, out_dim), cot),
+        argnums=(0, 1))(H, W)
+
+    monkeypatch.setenv("MRGCN_FORCE_PALLAS_GATHER", "1")
+    got = rl.dense_aggregate(H, W, plans, in_dim, out_dim, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    gp = jax.grad(lambda H, W: jnp.vdot(
+        rl.dense_aggregate(H, W, plans, in_dim, out_dim, interpret=True),
+        cot), argnums=(0, 1))(H, W)
+    for a, b in zip(gp, gw):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_sorted_scatter_basics(monkeypatch):
+    from mrgcn_tpu.ops.pallas_gather import sorted_scatter
+    rng = np.random.default_rng(0)
+    RB, EB = 16, 8
+    nslab = 7
+    local = rng.integers(0, RB + 1, (nslab, EB)).astype(np.int32)
+    blk = np.sort(rng.integers(0, 5, nslab)).astype(np.int32)
+    msgs = rng.standard_normal((nslab * EB, 128)).astype(np.float32)
+    out_rows = 6 * RB
+
+    want = np.zeros((out_rows, 128), np.float32)
+    rows = (blk[:, None] * RB + local).reshape(-1)
+    valid = local.reshape(-1) < RB
+    np.add.at(want, rows[valid], msgs[valid])
+
+    got = sorted_scatter(jnp.asarray(msgs), jnp.asarray(local),
+                         jnp.asarray(blk), out_rows, RB, EB)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
+                               atol=1e-5)
+
+    monkeypatch.setenv("MRGCN_FORCE_PALLAS_GATHER", "1")
+    got_p = sorted_scatter(jnp.asarray(msgs), jnp.asarray(local),
+                           jnp.asarray(blk), out_rows, RB, EB,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(got_p), want, rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_rgcn_model_planned_parity():
+    """Full 2-layer featureless RGCN: planned vs unplanned forward+grads."""
+    import optax
+    from mrgcn_tpu.models.rgcn import RGCN, EdgeBlock
+
+    src, dst, rel, norm, n, R, E = random_graph(seed=21)
+    plans = rl.plans_for_layers(src, dst, rel, norm, n,
+                                [(None, 16), (16, 5)],
+                                row_block=16, edge_block=8)
+    base = dict(src=jnp.asarray(src), dst=jnp.asarray(dst),
+                rel=jnp.asarray(rel), norm=jnp.asarray(norm), num_out=n)
+    edges_plain = EdgeBlock(**base)
+    edges_plan = EdgeBlock(**base, plans=plans)
+
+    from mrgcn_tpu.models.rgcn import RGCN
+    model = RGCN(hidden_dims=(16, 5), num_relations=R, num_nodes=n,
+                 num_bases=3, featureless=True)
+    params = model.init(jax.random.PRNGKey(0), None, edges_plain)["params"]
+    labels = jnp.asarray(
+        np.random.default_rng(5).integers(0, 5, n).astype(np.int32))
+
+    import optax
+
+    def loss(p, e):
+        out = model.apply({"params": p}, None, e)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            out, labels).mean()
+
+    l1, g1 = jax.value_and_grad(loss)(params, edges_plain)
+    l2, g2 = jax.value_and_grad(loss)(params, edges_plan)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)

@@ -304,13 +304,11 @@ def merge_continuous_sets(encoding_sets: List) -> List:
     totals = np.zeros(N, dtype=np.int32)
     lengths = np.zeros(N, dtype=np.float32)
 
-    pos = {v: i for i, v in enumerate(uniq)}
     for enc, node_index, seq_length in encoding_sets:
-        for i in range(len(node_index)):
-            j = pos[node_index[i]]
-            merged[j, :enc.shape[1]] += enc[i]
-            totals[j] += 1
-            lengths[j] = max(lengths[j], float(seq_length[i]))
+        j = np.searchsorted(uniq, np.asarray(node_index))
+        np.add.at(merged[:, :enc.shape[1]], j, np.asarray(enc))
+        np.add.at(totals, j, 1)
+        np.maximum.at(lengths, j, np.asarray(seq_length, np.float32))
 
     merged /= np.maximum(totals, 1)[:, None]
     return [[merged, uniq.astype(np.int32), lengths]]
@@ -326,22 +324,21 @@ def merge_discrete_sets(encoding_sets: List) -> List:
 
     uniq, counts = _unique_nodes(encoding_sets)
     N = uniq.shape[0]
-    pos = {v: i for i, v in enumerate(uniq)}
 
     values: List[List[np.ndarray]] = [[] for _ in range(N)]
     lengths = np.zeros(N, dtype=np.int32)
     for enc, node_index, seq_length in encoding_sets:
-        for i in range(len(node_index)):
-            j = pos[node_index[i]]
+        js = np.searchsorted(uniq, np.asarray(node_index))
+        np.maximum.at(lengths, js, np.asarray(seq_length, np.int32))
+        for i, j in enumerate(js):
             values[j].append(enc[i])
-            lengths[j] = max(lengths[j], int(seq_length[i]))
 
     merged = np.empty(N, dtype=object)
-    for j in range(N):
+    singles = np.flatnonzero(counts == 1)
+    for j in singles:
+        merged[j] = values[j][0]
+    for j in np.flatnonzero(counts > 1):
         encs = values[j]
-        if len(encs) == 1:
-            merged[j] = encs[0]
-            continue
         longest = max(len(e) for e in encs)
         a = -np.ones((len(encs), longest), dtype=np.int64)
         for k, e in enumerate(encs):
@@ -365,21 +362,20 @@ def merge_geometry_sets(encoding_sets: List) -> List:
 
     uniq, counts = _unique_nodes(encoding_sets)
     N = uniq.shape[0]
-    pos = {v: i for i, v in enumerate(uniq)}
 
     values: List[List[np.ndarray]] = [[] for _ in range(N)]
     for enc, node_index, _ in encoding_sets:
-        for i in range(len(node_index)):
-            values[pos[node_index[i]]].append(enc[i])
+        js = np.searchsorted(uniq, np.asarray(node_index))
+        for i, j in enumerate(js):
+            values[j].append(enc[i])
 
     merged = np.empty(N, dtype=object)
     lengths = np.zeros(N, dtype=np.int32)
-    for j in range(N):
+    for j in np.flatnonzero(counts == 1):
+        merged[j] = values[j][0]
+        lengths[j] = values[j][0].shape[1]
+    for j in np.flatnonzero(counts > 1):
         encs = values[j]
-        if len(encs) == 1:
-            merged[j] = encs[0]
-            lengths[j] = encs[0].shape[1]
-            continue
         shape = tuple(map(max, zip(*(e.shape for e in encs))))
         a = np.zeros(shape, dtype=np.float32)
         for e in encs:
@@ -405,10 +401,9 @@ def merge_image_sets(encoding_sets: List) -> List:
     merged = np.zeros((N, c, H, W), dtype=np.float32)
     totals = np.zeros(N, dtype=np.int32)
     for enc, node_index, _ in encoding_sets:
-        for i in range(len(node_index)):
-            j = pos[node_index[i]]
-            merged[j] += enc[i]
-            totals[j] += 1
+        j = np.searchsorted(uniq, np.asarray(node_index))
+        np.add.at(merged, j, np.asarray(enc, dtype=np.float32))
+        np.add.at(totals, j, 1)
     merged /= np.maximum(totals, 1)[:, None, None, None]
 
     return [[merged.astype(np.uint8), uniq.astype(np.int32),
@@ -428,12 +423,11 @@ def stack_encoding_sets(encoding_sets: List) -> List:
     M = sum(enc.shape[1] for enc, _, _ in encoding_sets)
 
     merged = np.zeros((N, M), dtype=np.float32)
-    pos = {v: i for i, v in enumerate(uniq)}
     col = 0
     for enc, node_index, _ in encoding_sets:
         width = enc.shape[1]
-        for k in range(len(node_index)):
-            merged[pos[node_index[k]], col:col + width] = enc[k]
+        j = np.searchsorted(uniq, np.asarray(node_index))
+        merged[j, col:col + width] = np.asarray(enc)
         col += width
 
     return [[merged, uniq.astype(np.int32),

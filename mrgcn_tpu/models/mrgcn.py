@@ -94,6 +94,12 @@ class MRGCN(nn.Module):
     gated: bool = True
     text_vocab_size: int = 259
     text_pad_id: int = 256
+    # encoders to skip entirely at apply time — the static analogue of the
+    # reference's runtime gate ~= 0 short-circuit
+    # (reference: mrgcn.py:263-268). Params are still created at init so
+    # checkpoints stay structurally stable; task drivers rebuild the model
+    # with the dead set when loaded gates are zero.
+    skip_encoders: Tuple[str, ...] = ()
 
     def setup(self):
         encoders = {}
@@ -206,6 +212,11 @@ class MRGCN(nn.Module):
             dim = self.encoder_dims[name]
             entry = features.get(name)
             if entry is None or entry[0].shape[0] == 0:
+                offset += dim
+                continue
+            if name in self.skip_encoders and not self.is_initializing():
+                # dead gate: contribute nothing, compile nothing
+                # (reference: mrgcn.py:263-268)
                 offset += dim
                 continue
             data, node_idx = entry

@@ -309,6 +309,7 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
                                     test_batchsize, num_layers) \
         if data["valid"] is not None else []
 
+    model = tutils.with_gate_skip(model, params)
     train_step, embed_fn = make_steps(model, optimizer, config)
     np_rng = np.random.default_rng(seed)
 

@@ -263,6 +263,7 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
         epoch = state["epoch"]
         print(f" - {epoch} epoch")
 
+    model = tutils.with_gate_skip(model, params)
     train_step, eval_step = make_steps(model, optimizer, config)
 
     nepoch = config["model"]["epoch"]

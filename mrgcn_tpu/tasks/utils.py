@@ -239,3 +239,28 @@ def restore_opt_state(template, stored):
         from flax import serialization
         return serialization.from_state_dict(template, stored)
     return jax.tree.map(jnp.asarray, stored)
+
+
+def dead_encoders(model, params) -> tuple:
+    """Encoder instances whose gate is exactly zero — the reference skips
+    their forward at runtime (reference: mrgcn.py:263-268); on TPU the skip
+    is compiled out statically via ``MRGCN.skip_encoders``."""
+    gw = params.get("gate_weights") if isinstance(params, dict) else None
+    if gw is None:
+        return ()
+    from mrgcn_tpu.models.mrgcn import module_names
+    names = module_names(model.modules_config)
+    vals = np.asarray(gw)
+    return tuple(n for n, v in zip(names, vals[:len(names)])
+                 if abs(float(v)) < 1e-12)
+
+
+def with_gate_skip(model, params):
+    """Rebuild the model with dead-gate encoders compiled out (no-op when
+    every gate is live)."""
+    dead = dead_encoders(model, params)
+    if not dead:
+        return model
+    logger.info("Skipping zero-gated encoder(s): %s", ", ".join(dead))
+    import dataclasses
+    return dataclasses.replace(model, skip_encoders=dead)

@@ -166,3 +166,57 @@ def test_mrgcn_jit_compiles_once():
     out1 = fwd(params, feats, edges)
     out2 = fwd(params, feats, edges)
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_gate_zero_encoder_skip():
+    """A zero-gated encoder is compiled out (smaller program) yet outputs
+    stay identical (reference: mrgcn.py:263-268)."""
+    import dataclasses
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mrgcn_tpu.models.mrgcn import MRGCN, module_names
+    from mrgcn_tpu.models.rgcn import EdgeBlock
+    from mrgcn_tpu.tasks import utils as tutils
+
+    n = 12
+    modules_config = (("xsd.numeric", (1, 4, 0.0)),
+                      ("xsd.string", (None, 8, 0.0)))
+    names = module_names(modules_config)
+    rng = np.random.default_rng(0)
+    features = {
+        names[0]: (jnp.asarray(rng.random((6, 1)), dtype=jnp.float32),
+                   jnp.asarray(np.arange(6), dtype=jnp.int32)),
+        names[1]: (jnp.asarray(rng.integers(0, 259, (6, 10)),
+                               dtype=jnp.int32),
+                   jnp.asarray(np.arange(6), dtype=jnp.int32)),
+    }
+    loop = np.arange(n, dtype=np.int32)
+    edges = EdgeBlock(src=jnp.asarray(loop), dst=jnp.asarray(loop),
+                      rel=jnp.asarray(np.zeros(n, np.int32)),
+                      norm=jnp.ones(n, dtype=jnp.float32), num_out=n)
+    model = MRGCN(hidden_dims=(8, 3), modules_config=modules_config,
+                  num_relations=1, num_nodes=n, num_bases=0)
+    variables = model.init(jax.random.PRNGKey(0), features, edges)
+    params = dict(variables["params"])
+    params["gate_weights"] = jnp.asarray([0.0, 0.1])  # kill the MLP gate
+
+    skipped = tutils.with_gate_skip(model, params)
+    assert skipped.skip_encoders == (names[0],)
+
+    vs = {**variables, "params": params}
+    out_full = model.apply(vs, features, edges)
+    out_skip = skipped.apply(vs, features, edges)
+    np.testing.assert_allclose(np.asarray(out_full), np.asarray(out_skip),
+                               rtol=1e-6, atol=1e-6)
+
+    # the skipped program is strictly smaller (the encoder never runs)
+    jaxpr_full = jax.make_jaxpr(
+        lambda v: model.apply(v, features, edges))(vs)
+    jaxpr_skip = jax.make_jaxpr(
+        lambda v: skipped.apply(v, features, edges))(vs)
+    assert len(jaxpr_skip.jaxpr.eqns) < len(jaxpr_full.jaxpr.eqns)
+
+    # live gates: no-op
+    params["gate_weights"] = jnp.asarray([0.1, 0.1])
+    assert tutils.with_gate_skip(model, params) is model

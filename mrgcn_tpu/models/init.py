@@ -54,17 +54,18 @@ def unit_uniform():
 
 def packed_xavier_uniform(fan_shape, num_nodes: int, out_dim: int, k: int):
     """Xavier-uniform for the packed identity weight layout
-    ``(S, ceil(n/k), 128)``: sampled with the fans of the logical
+    ``(S, rows, lanes)``: sampled with the fans of the logical
     ``(S*n, out)`` matrix, with the padding slots (lanes beyond ``out`` and
     rows beyond ``n``) zeroed so they never contribute to regularisation or
     weight decay."""
-    sub = 128 // k
 
     def init(key, shape, dtype=jnp.float32):
+        lanes = shape[2]
+        sub = lanes // k
         fin, fout = _torch_fans(fan_shape)
         bound = math.sqrt(6.0 / (fin + fout))
         vals = jax.random.uniform(key, shape, dtype, -bound, bound)
-        lane = jnp.arange(128)
+        lane = jnp.arange(lanes)
         node_of = (jnp.arange(shape[1])[:, None] * k + lane[None, :] // sub)
         valid = (node_of < num_nodes) & ((lane % sub) < out_dim)[None, :]
         return vals * valid[None, :, :].astype(dtype)

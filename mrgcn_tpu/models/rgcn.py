@@ -71,35 +71,34 @@ class EdgeBlock:
         return self.group_rel is not None
 
 
-def _identity_planned_packed(packed, comp, plan, out_dim):
+def _identity_planned(packed, comp, plan, out_dim):
     """Featureless input layer on the sorted-stream engine: compose the
     relation-major packed table (one matmul) and hand it to the layer op.
-    ``packed``: (S, n_rows, 128)."""
+
+    ``packed``: (S, rows, lanes) stored ALREADY padded to the engine's
+    table-block multiples (rspmm.packed_identity_shape) — an in-program
+    ``jnp.pad`` of this tensor measured at >1 s/step on a v5e. A slice (for
+    tests running smaller plan row blocks) is cheap; the sliced-away
+    padding rows are all zero and never addressed.
+    """
     from mrgcn_tpu.ops import relational as rl
     S, n_rows, lw = packed.shape
-    pk = jnp.pad(packed, ((0, 0), (0, plan.n_in_rows - n_rows), (0, 0)))
+    if n_rows > plan.n_in_rows:
+        pk = packed[:, :plan.n_in_rows, :]
+    elif n_rows < plan.n_in_rows:
+        pk = jnp.pad(packed, ((0, 0), (0, plan.n_in_rows - n_rows),
+                              (0, 0)))
+    else:
+        pk = packed
     if comp is not None:
-        flat = jnp.einsum("rs,sgl->rgl", comp, pk,
-                          preferred_element_type=jnp.float32)
+        # 2-D matmul, NOT einsum("rs,sgl->rgl"): XLA lowers that einsum's
+        # backward (contraction over the huge (rows, lanes) dims)
+        # catastrophically on TPU, while the reshaped dot and its
+        # transpose are plain MXU matmuls
+        flat = jnp.dot(comp, pk.reshape(S, -1),
+                       preferred_element_type=jnp.float32)
     else:
         flat = pk
-    table = flat.reshape(-1, lw)
-    return rl.featureless_aggregate(table, plan, out_dim)
-
-
-def _identity_planned_wide(weight_i, comp, plan, out_dim):
-    """Featureless input layer, unpacked (wide out_dim) weights:
-    ``weight_i``: (S, n, out)."""
-    from mrgcn_tpu.ops import relational as rl
-    S, n, out = weight_i.shape
-    lw = rl.line_width(1, out)
-    w = jnp.pad(weight_i, ((0, 0), (0, plan.n_in_rows - n),
-                           (0, lw - out)))
-    if comp is not None:
-        flat = jnp.einsum("rs,sgl->rgl", comp, w,
-                          preferred_element_type=jnp.float32)
-    else:
-        flat = w
     return rl.featureless_aggregate(flat.reshape(-1, lw), plan, out_dim)
 
 
@@ -150,31 +149,25 @@ class RGCNLayer(nn.Module):
             shape, k = rspmm.packed_identity_shape(S, self.num_nodes,
                                                    self.out_dim)
             plan_i = edges.plan_for(self.out_dim, self.out_dim)
-            if k > 1:
-                weight_i = self.param(
-                    "weight_i_packed",
-                    tinit.packed_xavier_uniform(fan_shape, self.num_nodes,
-                                                self.out_dim, k),
-                    shape)
-                if plan_i is not None:
-                    out = _identity_planned_packed(weight_i, comp_i,
-                                                   plan_i, self.out_dim)
-                else:
-                    out = rspmm.gather_aggregate_packed(
-                        weight_i, edges.src, edges.identity_dst, edges.rel,
-                        edges.norm, edges.num_out, self.out_dim, k,
-                        comp=comp_i)
+            weight_i = self.param(
+                "weight_i_packed" if k > 1 else "weight_i",
+                tinit.packed_xavier_uniform(fan_shape, self.num_nodes,
+                                            self.out_dim, k),
+                shape)
+            if plan_i is not None:
+                out = _identity_planned(weight_i, comp_i, plan_i,
+                                        self.out_dim)
+            elif k > 1:
+                out = rspmm.gather_aggregate_packed(
+                    weight_i, edges.src, edges.identity_dst, edges.rel,
+                    edges.norm, edges.num_out, self.out_dim, k,
+                    comp=comp_i)
             else:
-                weight_i = self.param(
-                    "weight_i", tinit.xavier_uniform(fan_shape=fan_shape),
-                    (S, self.num_nodes, self.out_dim))
-                if plan_i is not None:
-                    out = _identity_planned_wide(weight_i, comp_i, plan_i,
-                                                 self.out_dim)
-                else:
-                    out = rspmm.gather_aggregate(
-                        weight_i, edges.src, edges.identity_dst, edges.rel,
-                        edges.norm, edges.num_out, comp=comp_i)
+                # unplanned wide path expects logical (S, n, out) rows
+                out = rspmm.gather_aggregate(
+                    weight_i[:, :self.num_nodes, :self.out_dim],
+                    edges.src, edges.identity_dst, edges.rel,
+                    edges.norm, edges.num_out, comp=comp_i)
 
             if self.featureless:
                 if self.use_bias:

@@ -200,15 +200,23 @@ def packing_factor(out_dim: int) -> int:
     return 128 // out_p if out_p <= 64 else 1
 
 
-def packed_identity_shape(S: int, num_nodes: int, out_dim: int):
-    """Parameter shape for a packed identity weight: (S, ceil(n/k), 128)
-    holding k consecutive node rows (each padded to 128/k lanes) per
-    lane-row."""
+def packed_identity_shape(S: int, num_nodes: int, out_dim: int,
+                          row_multiple: int = 512):
+    """Parameter shape for a packed identity weight: (S, rows, lanes)
+    holding k consecutive node rows (each padded to lanes/k) per lane-row.
+
+    Rows are rounded up to ``row_multiple`` (the sorted-stream engine's
+    table block size) and lanes to 128 so the training step NEVER pads the
+    weight in-program — an in-jit ``jnp.pad`` of this 0.25 GB tensor
+    measured at >1 s/step on a v5e (XLA lowers the pad + backward-slice
+    pair catastrophically). Padding slots are zero-initialised
+    (models/init.packed_xavier_uniform) and never gathered, so they stay
+    exactly zero under L1/L2 and Adam."""
     k = packing_factor(out_dim)
-    if k == 1:
-        return (S, num_nodes, out_dim), 1
     n_rows = -(-num_nodes // k)
-    return (S, n_rows, 128), k
+    n_rows = -(-n_rows // row_multiple) * row_multiple
+    lanes = 128 if k > 1 else _pad128(out_dim)
+    return (S, n_rows, lanes), k
 
 
 def gather_aggregate_packed(packed: jnp.ndarray, src: jnp.ndarray,
@@ -227,12 +235,17 @@ def gather_aggregate_packed(packed: jnp.ndarray, src: jnp.ndarray,
     sub = 128 // k
 
     if comp is not None:
-        # compose in the packed layout — minor dim stays 128, no pad waste
-        flat = jnp.einsum("rs,sgl->rgl", comp, packed,
-                          preferred_element_type=jnp.float32)
+        # compose in the packed layout — minor dim stays 128, no pad waste.
+        # 2-D matmul, NOT einsum("rs,sgl->rgl"): XLA lowers that einsum's
+        # backward (contraction over the huge (rows, lanes) dims)
+        # catastrophically on TPU; the reshaped dot and its transpose are
+        # plain MXU matmuls
+        flat = jnp.dot(comp, packed.reshape(S, -1),
+                       preferred_element_type=jnp.float32)
+        R = comp.shape[0]
     else:
         flat = packed
-    R = flat.shape[0]
+        R = S
     flat = flat.reshape(R * n_rows, 128)
 
     packed_idx = rel.astype(jnp.int32) * n_rows + dst.astype(jnp.int32) // k

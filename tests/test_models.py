@@ -39,8 +39,13 @@ def test_rgcn_with_bases_param_shapes():
                  num_bases=B, featureless=True)
     params = model.init(jax.random.PRNGKey(0), None, edges)
     p0 = params["params"]["layer_0"]
-    # out=8 -> packed layout: 16 rows per 128-lane row
-    assert p0["weight_i_packed"].shape == (B, -(-n // 16), 128)
+    # out=8 -> packed layout: 16 rows per 128-lane line; rows pre-padded to
+    # the engine's 512-row table blocks (in-program pads are pathological
+    # on TPU — see rspmm.packed_identity_shape)
+    assert p0["weight_i_packed"].shape == (B, 512, 128)
+    # padding rows/lanes are exactly zero (regularisation-neutral)
+    w = np.asarray(p0["weight_i_packed"])
+    assert np.all(w[:, -(-n // 16):, :] == 0)
     assert p0["comp_i"].shape == (R, B)
     p1 = params["params"]["layer_1"]
     assert p1["weight_f"].shape == (B, 8, 5)

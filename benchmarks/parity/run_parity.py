@@ -83,22 +83,47 @@ def parse_metrics(output: str, task: str) -> dict:
     return out
 
 
+def _with_seed(config: str, seed: int, out_dir: str) -> str:
+    text = open(config).read()
+    text = text.replace("seed = 1", f"seed = {seed}")
+    path = os.path.join(out_dir, os.path.basename(config))
+    with open(path, "w") as f:
+        f.write(text)
+    return path
+
+
+def _mean(dicts):
+    keys = dicts[0].keys()
+    return {k: round(sum(d[k] for d in dicts) / len(dicts), 4)
+            for k in keys}
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--task", choices=("nc", "lp", "all"), default="all")
+    parser.add_argument("--seeds", type=int, default=3,
+                        help="LP runs are averaged over this many seeds — "
+                        "the smoke split has 36 test facts, so a single "
+                        "run's MRR varies by ~0.1 with the init draw")
     args = parser.parse_args()
 
     tasks = ["nc", "lp"] if args.task == "all" else [args.task]
     results = {}
     for task in tasks:
         config = os.path.join(HERE, f"{task}_config.toml")
-        with tempfile.TemporaryDirectory() as ref_dir, \
-                tempfile.TemporaryDirectory() as our_dir:
-            ref = run_reference(config, ref_dir, task)
-            ours = run_ours(config, our_dir, task)
-        results[task] = {"reference": ref, "mrgcn_tpu": ours}
-        print(f"[{task}] reference: {ref}")
-        print(f"[{task}] mrgcn_tpu: {ours}")
+        seeds = range(1, args.seeds + 1) if task == "lp" else [1]
+        refs, ours_all = [], []
+        for seed in seeds:
+            with tempfile.TemporaryDirectory() as ref_dir, \
+                    tempfile.TemporaryDirectory() as our_dir:
+                cfg = _with_seed(config, seed, our_dir)
+                refs.append(run_reference(cfg, ref_dir, task))
+                ours_all.append(run_ours(cfg, our_dir, task))
+        results[task] = {"reference": _mean(refs),
+                         "mrgcn_tpu": _mean(ours_all),
+                         "runs": len(refs)}
+        print(f"[{task}] reference: {results[task]['reference']}")
+        print(f"[{task}] mrgcn_tpu: {results[task]['mrgcn_tpu']}")
 
     print(json.dumps(results))
     return 0

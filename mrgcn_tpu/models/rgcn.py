@@ -149,6 +149,16 @@ class RGCNLayer(nn.Module):
             shape, k = rspmm.packed_identity_shape(S, self.num_nodes,
                                                    self.out_dim)
             plan_i = edges.plan_for(self.out_dim, self.out_dim)
+            if plan_i is not None and comp_i is not None:
+                # the planned featureless op gathers from the COMPOSED
+                # (R * rows, lanes) table; for wide layouts (e.g. LP
+                # hidden=200, R~500) that table would not fit HBM — fall
+                # back to the basis-mix path
+                lanes = rspmm.packed_identity_shape(
+                    S, self.num_nodes, self.out_dim)[0][2]
+                table_elems = self.num_relations * plan_i.n_in_rows * lanes
+                if table_elems > 2 ** 29:   # 2 GiB f32
+                    plan_i = None
             weight_i = self.param(
                 "weight_i_packed" if k > 1 else "weight_i",
                 tinit.packed_xavier_uniform(fan_shape, self.num_nodes,

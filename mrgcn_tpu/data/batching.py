@@ -44,20 +44,66 @@ class EdgeIndex:
     def __init__(self, structure: GraphStructure):
         order = np.argsort(structure.src, kind="stable")
         self.src = structure.src[order]
-        self.dst = structure.dst[order]
+        self.dst = np.ascontiguousarray(structure.dst[order],
+                                        dtype=np.int32)
         self.rel = structure.rel[order]
         self.norm = structure.norm[order]
-        self.indptr = np.searchsorted(
-            self.src, np.arange(structure.num_nodes + 1))
+        self.indptr = np.ascontiguousarray(np.searchsorted(
+            self.src, np.arange(structure.num_nodes + 1)), dtype=np.int64)
         self.num_nodes = structure.num_nodes
+        self._mark = None                # native sampler scratch, lazy
 
     def out_edges(self, nodes: np.ndarray) -> np.ndarray:
-        """Edge positions whose source is in ``nodes``."""
-        spans = [np.arange(self.indptr[v], self.indptr[v + 1])
-                 for v in nodes]
-        if not spans:
+        """Edge positions whose source is in ``nodes`` (vectorised: no
+        per-node Python loop)."""
+        nodes = np.asarray(nodes, dtype=np.int64)
+        starts = self.indptr[nodes]
+        counts = self.indptr[nodes + 1] - starts
+        total = int(counts.sum())
+        if total == 0:
             return np.empty(0, dtype=np.int64)
-        return np.concatenate(spans)
+        # positions within each span: global arange minus each span's offset
+        span_ends = np.cumsum(counts)
+        offsets = np.arange(total, dtype=np.int64) - np.repeat(
+            span_ends - counts, counts)
+        return np.repeat(starts, counts) + offsets
+
+    def hop(self, nodes: np.ndarray):
+        """One BFS hop: (out-edge ids, sorted unique neighbour ids).
+
+        Uses the native C++ sampler (mrgcn_tpu/native/sampler.cpp) when the
+        shared library builds; the numpy path is the reference semantics.
+        """
+        from mrgcn_tpu.data.native import get_sampler_lib
+        lib = get_sampler_lib()
+        if lib is None:
+            eids = self.out_edges(nodes)
+            return eids, np.unique(self.dst[eids]).astype(np.int32)
+
+        import ctypes
+        frontier = np.ascontiguousarray(nodes, dtype=np.int32)
+        if frontier.size and (frontier.min() < 0
+                              or frontier.max() >= self.num_nodes):
+            raise ValueError("frontier node id out of range")
+        counts = self.indptr[frontier.astype(np.int64) + 1] \
+            - self.indptr[frontier.astype(np.int64)]
+        eids = np.empty(int(counts.sum()), dtype=np.int64)
+        neigh = np.empty(self.num_nodes, dtype=np.int32)
+        n_neigh = np.zeros(1, dtype=np.int64)
+        if self._mark is None:
+            self._mark = np.zeros(self.num_nodes, dtype=np.uint8)
+
+        def ptr(a, t):
+            return a.ctypes.data_as(ctypes.POINTER(t))
+
+        n_eids = lib.mg_bfs_hop(
+            ptr(self.indptr, ctypes.c_int64), ptr(self.dst, ctypes.c_int32),
+            self.num_nodes, ptr(frontier, ctypes.c_int32), len(frontier),
+            ptr(eids, ctypes.c_int64), ptr(neigh, ctypes.c_int32),
+            ptr(n_neigh, ctypes.c_int64), ptr(self._mark, ctypes.c_uint8))
+        if n_eids < 0:
+            raise ValueError("frontier node id out of range")
+        return eids[:n_eids], neigh[:int(n_neigh[0])].copy()
 
 
 @dataclass
@@ -82,8 +128,7 @@ def sample_minibatch(index: EdgeIndex, batch_nodes: np.ndarray,
     hop_edges: List[np.ndarray] = []                # E_0 .. E_{L-1}
     sample = batch_nodes
     for _ in range(num_layers):
-        eids = index.out_edges(sample)
-        neighbours = np.unique(index.dst[eids])     # sorted global ids
+        eids, neighbours = index.hop(sample)        # sorted global ids
         hop_edges.append(eids)
         hop_nodes.append(neighbours.astype(np.int32))
         sample = neighbours

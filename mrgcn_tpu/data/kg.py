@@ -29,9 +29,12 @@ def _format_of(path: str) -> str:
         return "ntriples"
     if ext in ("ttl", "turtle", "n3"):
         return "turtle"
+    if ext in ("rdf", "rdfs", "owl", "xml"):
+        return "rdfxml"
     raise ValueError(
         f"Unsupported RDF serialisation {'.' + ext if ext else path!r}: "
-        f"{path}. Supported: N-Triples (.nt[.gz]) and Turtle (.ttl[.gz]).")
+        f"{path}. Supported: N-Triples (.nt[.gz]), Turtle (.ttl[.gz]) "
+        f"and RDF/XML (.rdf/.owl/.xml[.gz]).")
 
 
 def _read_path(path: str):
@@ -43,6 +46,9 @@ def _read_path(path: str):
     if fmt == "turtle":
         from mrgcn_tpu.data import turtle
         return turtle.parse_file(path)
+    if fmt == "rdfxml":
+        from mrgcn_tpu.data import rdfxml
+        return rdfxml.parse_file(path)
 
     triples = None
     try:

@@ -26,21 +26,65 @@ _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native")
 _SRC = os.path.join(_NATIVE_DIR, "ntparse.cpp")
 _SO = os.path.join(_NATIVE_DIR, "_ntparse.so")
+_SAMPLER_SRC = os.path.join(_NATIVE_DIR, "sampler.cpp")
+_SAMPLER_SO = os.path.join(_NATIVE_DIR, "_sampler.so")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
+_sampler_lib: Optional[ctypes.CDLL] = None
+_sampler_failed = False
 
 
-def _build() -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-lz",
-           "-o", _SO]
+def _build_so(src: str, so: str, extra=()) -> bool:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, *extra,
+           "-o", so]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
     except (OSError, subprocess.SubprocessError) as e:
-        logger.info("native parser build failed (%s); using pure Python", e)
+        logger.info("native build of %s failed (%s); using pure Python",
+                    os.path.basename(src), e)
         return False
+
+
+def _load_so(src: str, so: str, extra=()) -> Optional[ctypes.CDLL]:
+    """(Re)build if stale, then dlopen. None on any failure."""
+    if not os.path.exists(so) or \
+            os.path.getmtime(so) < os.path.getmtime(src):
+        if not _build_so(src, so, extra):
+            return None
+    try:
+        return ctypes.CDLL(so)
+    except OSError as e:
+        logger.info("native load of %s failed (%s)", os.path.basename(so), e)
+        return None
+
+
+def get_sampler_lib() -> Optional[ctypes.CDLL]:
+    """The native BFS sampler (mrgcn_tpu/native/sampler.cpp)."""
+    global _sampler_lib, _sampler_failed
+    with _lock:
+        if _sampler_lib is not None or _sampler_failed:
+            return _sampler_lib
+        lib = _load_so(_SAMPLER_SRC, _SAMPLER_SO)
+        if lib is None:
+            _sampler_failed = True
+            return None
+        lib.mg_bfs_hop.restype = ctypes.c_int64
+        lib.mg_bfs_hop.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),   # indptr
+            ctypes.POINTER(ctypes.c_int32),   # dst
+            ctypes.c_int64,                   # num_nodes
+            ctypes.POINTER(ctypes.c_int32),   # frontier
+            ctypes.c_int64,                   # num_frontier
+            ctypes.POINTER(ctypes.c_int64),   # eids_out
+            ctypes.POINTER(ctypes.c_int32),   # neigh_out
+            ctypes.POINTER(ctypes.c_int64),   # num_neigh_out
+            ctypes.POINTER(ctypes.c_uint8),   # mark scratch
+        ]
+        _sampler_lib = lib
+        return _sampler_lib
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -48,15 +92,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not os.path.exists(_SO) or \
-                os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            if not _build():
-                _build_failed = True
-                return None
-        try:
-            lib = ctypes.CDLL(_SO)
-        except OSError as e:
-            logger.info("native parser load failed (%s)", e)
+        lib = _load_so(_SRC, _SO, ("-lz",))
+        if lib is None:
             _build_failed = True
             return None
 

@@ -53,14 +53,22 @@ class EdgeBlock:
     # (dst == dst_global), dict keys are static pytree structure
     plans: Optional[dict] = None
 
-    def plan_for(self, in_width: int, out_width: int):
+    def plan_for(self, in_width: int, out_width: int,
+                 identity: bool = False):
         """LayerPlans matching a layer shape (packing factors are functions
-        of the widths alone, so layers of equal widths share plans)."""
+        of the widths alone, so layers of equal widths share plans).
+        Identity (featureless) layers use separate plans — their streams
+        skip the relation-constant slab splits dense layers want
+        (see ops.relational.build_layer_plans)."""
         if not self.plans or self.dst_global is not None:
             return None
         k_in = rspmm.packing_factor(in_width)
         k_out = rspmm.packing_factor(out_width)
-        return self.plans.get(f"{k_in}:{k_out}")
+        key = f"{k_in}:{k_out}:id" if identity else f"{k_in}:{k_out}"
+        plan = self.plans.get(key)
+        if plan is None and identity:
+            plan = self.plans.get(f"{k_in}:{k_out}")
+        return plan
 
     @property
     def identity_dst(self) -> jnp.ndarray:
@@ -148,7 +156,8 @@ class RGCNLayer(nn.Module):
             fan_shape = (S * self.num_nodes, self.out_dim)
             shape, k = rspmm.packed_identity_shape(S, self.num_nodes,
                                                    self.out_dim)
-            plan_i = edges.plan_for(self.out_dim, self.out_dim)
+            plan_i = edges.plan_for(self.out_dim, self.out_dim,
+                                    identity=True)
             if plan_i is not None and comp_i is not None:
                 # the planned featureless op gathers from the COMPOSED
                 # (R * rows, lanes) table; for wide layouts (e.g. LP

@@ -357,3 +357,134 @@ def _sorted_scatter_bwd(out_rows, row_block, edge_block, interpret, res, g):
 
 
 sorted_scatter.defvjp(_sorted_scatter_fwd, _sorted_scatter_bwd)
+
+
+# --------------------------------------------------------------------------
+# Fused place-scatter: select sub-row + norm + sub-row placement + scatter
+# in one kernel (no (E, L) intermediates through HBM)
+# --------------------------------------------------------------------------
+
+def _fused_place_kernel(out_blk_ref, local_ref, v_ref, out_hbm, acc,
+                        sems, *, row_block: int, edge_block: int,
+                        super_blocks: int, n_sub: int, k: int, L: int,
+                        sub_v: int):
+    """Per sub-block: per-edge values arrive as ``[v | norm | place]``
+    lanes (``sub_v`` value lanes + 2 scalar lanes) so the per-edge
+    scalars sit on the SUBLANE axis without any transpose (Mosaic rejects
+    lane<->sublane shape casts). Scale by norm, place the value lanes at
+    slot ``place`` of a (EB, L) line via static lane rolls + aligned
+    selects, and accumulate via one one-hot MXU matmul into the
+    VMEM-resident output block (same flush discipline as
+    ``_scatter_kernel``)."""
+    s = pl.program_id(0)
+    base = s * super_blocks
+    eb = edge_block
+    sub = L // k
+
+    @pl.when(s == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    for j in range(super_blocks):
+        g = base + j
+        vr = v_ref[0, j * eb:(j + 1) * eb, :]              # (EB, sub_v+2)
+        v = vr[:, :sub_v]
+        nw = vr[:, sub_v:sub_v + 1]                        # (EB, 1)
+        plc = vr[:, sub_v + 1:sub_v + 2]                   # (EB, 1)
+
+        vn = v * nw
+        if k > 1:
+            base_line = jnp.pad(vn, ((0, 0), (0, L - sub_v)))
+            lines = jnp.zeros((eb, L), jnp.float32)
+            for ko in range(k):
+                rolled = base_line if ko == 0 else \
+                    pltpu.roll(base_line, ko * sub, 1)
+                lines = jnp.where(plc == float(ko), rolled, lines)
+        else:
+            lines = jnp.pad(vn, ((0, 0), (0, L - sub_v))) \
+                if sub_v < L else vn
+
+        lo = local_ref[0, 0:1, j * eb:(j + 1) * eb]
+        rio = jax.lax.broadcasted_iota(jnp.int32, (row_block, eb), 0)
+        onehot = (rio == lo).astype(jnp.float32)           # (RB, EB)
+        acc[:] += jax.lax.dot_general(
+            onehot, lines, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        is_last = g == n_sub - 1
+        nxt = jnp.minimum(g + 1, n_sub - 1)
+        changes = jnp.logical_or(is_last,
+                                 out_blk_ref[nxt] != out_blk_ref[g])
+
+        @pl.when(changes)
+        def _():
+            cp = pltpu.make_async_copy(
+                acc,
+                out_hbm.at[pl.ds(out_blk_ref[g] * row_block, row_block),
+                           :],
+                sems)
+            cp.start()
+            cp.wait()
+            acc[:] = jnp.zeros_like(acc)
+
+
+def fused_place_scatter(V: jnp.ndarray, place_mod: jnp.ndarray,
+                        norm: jnp.ndarray, local: jnp.ndarray,
+                        out_blk: jnp.ndarray, out_rows: int, k: int,
+                        L: int, row_block: int, edge_block: int,
+                        interpret: bool = False) -> jnp.ndarray:
+    """``out[out_blk*RB + local] += place(norm * V, place_mod)`` in one
+    pass: per-edge values land at lane slot ``place_mod`` of a packed
+    (out_rows, L) table. Requires the slab count to divide the
+    super-block factor (plans pre-pad; see relational._segment_layout).
+
+    ``V``: (E_pad, Lv) logical sub-rows (Lv <= L // k lanes meaningful);
+    ``local``: (nslab, EB); ``place_mod``/``norm``: (E_pad,).
+    """
+    num_blocks = local.shape[0]
+    super_blocks = _super_blocks(edge_block, L)
+    assert num_blocks % super_blocks == 0, \
+        "stream not padded to super-block multiple"
+    n_super = num_blocks // super_blocks
+    sub_v = V.shape[1]
+
+    # per-edge scalars ride as extra lanes of V so they arrive on the
+    # sublane axis (see kernel docstring); f32 is exact for both
+    packed = jnp.concatenate(
+        [V.astype(jnp.float32), norm.astype(jnp.float32)[:, None],
+         place_mod.astype(jnp.float32)[:, None]], axis=1)
+
+    local3 = jnp.broadcast_to(
+        local.reshape(n_super, 1, super_blocks * edge_block),
+        (n_super, 8, super_blocks * edge_block))
+    v3 = packed.reshape(n_super, super_blocks * edge_block, sub_v + 2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_super,),
+        in_specs=[
+            pl.BlockSpec((1, 8, super_blocks * edge_block),
+                         lambda i, ob: (i, 0, 0)),
+            pl.BlockSpec((1, super_blocks * edge_block, sub_v + 2),
+                         lambda i, ob: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((row_block, L), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = partial(_fused_place_kernel, row_block=row_block,
+                     edge_block=edge_block, super_blocks=super_blocks,
+                     n_sub=num_blocks, k=k, L=L, sub_v=sub_v)
+    out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((out_rows, L), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(out_blk, local3, v3)
+    nblk_out = out_rows // row_block
+    covered = jnp.zeros(nblk_out, dtype=bool).at[out_blk].set(
+        True, mode="drop")
+    mask = jnp.repeat(covered, row_block)
+    return jnp.where(mask[:, None], out, 0.0)

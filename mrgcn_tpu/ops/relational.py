@@ -35,6 +35,7 @@ sparse adjacency (reference: mrgcn/layers/graph.py:62-102).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -43,6 +44,8 @@ import numpy as np
 from flax import struct
 
 from mrgcn_tpu.ops.pallas_gather import (EDGE_BLOCK, ROW_BLOCK,
+                                         _super_blocks, _use_pallas,
+                                         fused_place_scatter,
                                          sorted_gather, sorted_scatter)
 
 
@@ -50,16 +53,20 @@ from mrgcn_tpu.ops.pallas_gather import (EDGE_BLOCK, ROW_BLOCK,
 # host-side planning
 # --------------------------------------------------------------------------
 
-def _segment_layout(major, minor, block_of_edge, edge_block):
-    """Order edges by (major, minor), split where the block id changes,
-    pad each segment to a multiple of ``edge_block``."""
+def _segment_layout(major, minor, block_of_edge, edge_block,
+                    split_key=None):
+    """Order edges by (major, minor), split where the block id (or, when
+    given, ``split_key`` — e.g. a (block, relation) composite so slabs are
+    relation-constant) changes, pad each segment to a multiple of
+    ``edge_block``."""
     E = len(block_of_edge)
     order = np.lexsort((minor, major))
     blk = np.asarray(block_of_edge)[order]
     if E == 0:
         return (order, np.zeros(0, np.int64), edge_block,
                 np.zeros(1, np.int64))
-    boundaries = np.flatnonzero(np.diff(blk)) + 1
+    key = blk if split_key is None else np.asarray(split_key)[order]
+    boundaries = np.flatnonzero(np.diff(key)) + 1
     seg_starts = np.concatenate([[0], boundaries, [E]]).astype(np.int64)
     lengths = np.diff(seg_starts)
     padded = -(-lengths // edge_block) * edge_block
@@ -71,6 +78,17 @@ def _segment_layout(major, minor, block_of_edge, edge_block):
     slab_seg = np.repeat(np.arange(len(lengths)),
                          (padded // edge_block).astype(np.int64))
     slab_blk = blk[seg_starts[:-1]][slab_seg]
+    # pad the slab count to a multiple of the largest super-block factor
+    # (pallas_gather._super_blocks is a power of two <= 64): the kernels'
+    # grid then divides evenly and no stream is ever concat-copied at
+    # dispatch time. Padding slabs match no rows and keep the last block
+    # id (monotonicity + final flush stay correct).
+    nslab = E_pad // edge_block
+    extra = (-nslab) % 64
+    if extra:
+        E_pad += extra * edge_block
+        slab_blk = np.concatenate(
+            [slab_blk, np.repeat(slab_blk[-1:], extra)])
     return order, slots, E_pad, slab_blk
 
 
@@ -95,10 +113,13 @@ class Stream:
     in_mod: jnp.ndarray         # (E_pad,) dst % k_in
     rel: jnp.ndarray            # (E_pad,)
     norm: jnp.ndarray           # (E_pad,)
-    slab_rel: jnp.ndarray       # (nslab,) relation per slab (relation-major
-    #                             streams only)
+    slab_rel: jnp.ndarray       # (nslab,) relation per slab (valid only
+    #                             when rel_const)
     edge_block: int = struct.field(pytree_node=False)
     row_block: int = struct.field(pytree_node=False)
+    # slabs split on (scatter block, relation): slab_rel is exact and the
+    # dense ops may use per-slab weight matmuls
+    rel_const: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_padded_edges(self) -> int:
@@ -136,11 +157,16 @@ def _pad_rows(num_nodes: int, k: int, row_block: int) -> int:
 
 def build_layer_plans(src, dst, rel, norm, num_nodes: int, k_in: int,
                       k_out: int, row_block: int = ROW_BLOCK,
-                      edge_block: int = EDGE_BLOCK) -> LayerPlans:
+                      edge_block: int = EDGE_BLOCK,
+                      kind: str = "dense") -> LayerPlans:
     """Host-side: the three sorted edge streams for one layer shape.
 
     ``k_in`` = packing factor of the gathered table's logical row width,
-    ``k_out`` = packing factor of the output width.
+    ``k_out`` = packing factor of the output width. ``kind="identity"``
+    builds the featureless-layer variant: plain block splits (the
+    relation-constant layout only helps dense weight application and costs
+    padding) and no separate bwd_h stream (featureless backward only
+    scatters into the table).
     """
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
@@ -153,9 +179,10 @@ def build_layer_plans(src, dst, rel, norm, num_nodes: int, k_in: int,
     out_row = src // k_out
     flat_row = rel * n_in_rows + in_row
 
-    def mk(major, minor, scatter_row):
+    def mk(major, minor, scatter_row, split_key=None, rel_const=False):
         order, slots, E_pad, slab_blk = _segment_layout(
-            major, minor, scatter_row // row_block, edge_block)
+            major, minor, scatter_row // row_block, edge_block,
+            split_key=split_key)
         nslab = E_pad // edge_block
 
         def place(arr, fill, dtype=np.int32):
@@ -177,11 +204,48 @@ def build_layer_plans(src, dst, rel, norm, num_nodes: int, k_in: int,
             norm=jnp.asarray(place(norm, 0.0, np.float32)),
             slab_rel=jnp.asarray(
                 relp.reshape(nslab, edge_block)[:, 0].copy()),
-            edge_block=edge_block, row_block=row_block)
+            edge_block=edge_block, row_block=row_block,
+            rel_const=rel_const)
 
-    fwd = mk(src, flat_row, out_row)
+    # fwd and bwd_h prefer a (scatter block, relation) composite sort with
+    # slab splits on it: every slab then carries ONE relation (slab_rel),
+    # so the dense layers' per-edge weight application collapses into
+    # per-slab batched MXU matmuls (measured 0.02 ms vs 9.6 ms for the
+    # per-edge einsum at E~700k — benchmarks/micro_r2_prims.py). The finer
+    # splits cost padding; when the graph has many relations per scatter
+    # block (e.g. FB15k-237: R~475 over ~29 blocks would inflate E_pad
+    # ~6x) the plain block-split layout is kept and the dense ops fall
+    # back to the per-edge weight gather (``Stream.rel_const`` flags the
+    # choice, made per stream from the actual padded sizes).
+    def padded_len(keys) -> int:
+        _, counts = np.unique(keys, return_counts=True)
+        return int((-(-counts // edge_block) * edge_block).sum())
+
+    def allow_rc(composite, plain) -> bool:
+        base = padded_len(plain)
+        return padded_len(composite) <= max(int(1.35 * base),
+                                            base + 8 * edge_block)
+
+    R_num = int(rel.max()) + 1 if len(rel) else 1
+    out_blk = out_row // row_block
+    in_blk = in_row // row_block
     bwd_table = mk(rel, dst, flat_row)
-    bwd_h = mk(in_row, rel, in_row)
+    if kind == "identity":
+        fwd = mk(src, flat_row, out_row)
+        bwd_h = fwd        # unused by the featureless ops; alias, no copy
+    else:
+        fwd_key = out_blk * R_num + rel
+        if allow_rc(fwd_key, out_blk):
+            fwd = mk(fwd_key, flat_row, out_row, split_key=fwd_key,
+                     rel_const=True)
+        else:
+            fwd = mk(src, flat_row, out_row)
+        bwdh_key = in_blk * R_num + rel
+        if allow_rc(bwdh_key, in_blk):
+            bwd_h = mk(bwdh_key, out_row, in_row, split_key=bwdh_key,
+                       rel_const=True)
+        else:
+            bwd_h = mk(in_row, rel, in_row)
     return LayerPlans(fwd=fwd, bwd_table=bwd_table, bwd_h=bwd_h,
                       k_in=int(k_in), k_out=int(k_out),
                       n_in_rows=int(n_in_rows),
@@ -201,12 +265,15 @@ def plans_for_layers(src, dst, rel, norm, num_nodes: int, layer_shapes,
     pairs = set()
     for in_w, out_w in layer_shapes:
         k_out = packing_factor(int(out_w))
-        k_in = k_out if in_w is None else packing_factor(int(in_w))
-        pairs.add((k_in, k_out))
-    return {f"{ki}:{ko}": build_layer_plans(
-        src, dst, rel, norm, num_nodes, ki, ko,
-        row_block=row_block, edge_block=edge_block)
-        for ki, ko in sorted(pairs)}
+        if in_w is None:               # featureless/identity gather
+            pairs.add((k_out, k_out, "identity"))
+        else:
+            pairs.add((packing_factor(int(in_w)), k_out, "dense"))
+    return {f"{ki}:{ko}:id" if kind == "identity" else f"{ki}:{ko}":
+            build_layer_plans(src, dst, rel, norm, num_nodes, ki, ko,
+                              row_block=row_block, edge_block=edge_block,
+                              kind=kind)
+            for ki, ko, kind in sorted(pairs)}
 
 
 # --------------------------------------------------------------------------
@@ -269,14 +336,54 @@ def featureless_aggregate(table: jnp.ndarray, plans: LayerPlans,
     row width is ``out_dim`` (k_in == k_out). Returns (num_nodes, out_dim).
     """
     f = plans.fwd
-    rows = f.rel * plans.n_in_rows + f.gather_row
-    G = table[rows]                                    # XLA gather
-    v = _select_sub(G, f.in_mod, plans.k_in, out_dim) * f.norm[:, None]
-    msgs = _expand_sub(v, f.out_mod, plans.k_out)
-    out = sorted_scatter(msgs, f.scatter_local, f.scatter_blk,
-                         plans.n_out_rows, f.row_block, f.edge_block,
-                         interpret)
+    k = plans.k_in
+    V = _gather_sub(table, f.rel * plans.n_in_rows + f.gather_row,
+                    f.in_mod, k, out_dim)
+    out = _place_scatter(V, f.out_mod, f, plans.n_out_rows, plans.k_out,
+                         out_dim, table.shape[1], interpret)
     return unpack_rows(out, plans.k_out, plans.num_nodes, out_dim)
+
+
+def _gather_sub(table: jnp.ndarray, row: jnp.ndarray, mod: jnp.ndarray,
+                k: int, d: int) -> jnp.ndarray:
+    """Gather per-edge logical sub-rows from a packed (T, L) table.
+
+    Default: full-line row gather + one-hot sub-row select — measured
+    fastest on v5e. ``MRGCN_NARROW_GATHER=1`` switches to gathering
+    16-lane logical rows from the (T*k, L//k) view (8x fewer bytes but
+    ~6x slower per row in XLA on v5e; kept for re-evaluation on other
+    chips/compilers)."""
+    if k == 1:
+        return table[row][:, :d]
+    if os.environ.get("MRGCN_NARROW_GATHER") == "1":
+        sub = table.shape[1] // k
+        return table.reshape(-1, sub)[row * k + mod][:, :d]
+    return _select_sub(table[row], mod, k, d)
+
+
+def _place_scatter(V, place_mod, stream: Stream, out_rows: int,
+                   k: int, d: int, L: int, interpret: bool) -> jnp.ndarray:
+    """norm-scale + sub-row place + block scatter of per-edge values
+    ``V`` (E, d).
+
+    Default path: XLA expand + the sorted block-scatter kernel (measured
+    fastest on v5e — XLA fuses the expand into the scatter's input
+    stream). ``MRGCN_FUSED_PLACE=1`` (or interpret mode, for test
+    coverage) routes through the single fused Pallas pass instead."""
+    fused_on = os.environ.get("MRGCN_FUSED_PLACE") == "1" or interpret
+    if fused_on and (_use_pallas() or interpret) \
+            and stream.num_slabs % _super_blocks(
+                stream.edge_block, L) == 0:
+        return fused_place_scatter(
+            V, place_mod, stream.norm, stream.scatter_local,
+            stream.scatter_blk, out_rows, k, L, stream.row_block,
+            stream.edge_block, interpret)
+    msgs = _expand_sub(V[:, :d] * stream.norm[:, None], place_mod, k)
+    if msgs.shape[1] < L:
+        msgs = jnp.pad(msgs, ((0, 0), (0, L - msgs.shape[1])))
+    return sorted_scatter(msgs, stream.scatter_local, stream.scatter_blk,
+                          out_rows, stream.row_block, stream.edge_block,
+                          interpret)
 
 
 def _featureless_fwd(table, plans, out_dim, interpret):
@@ -292,16 +399,10 @@ def _featureless_bwd(out_dim, interpret, res, d_out):
     # recompute the per-edge cotangent on the (rel, dst)-sorted stream from
     # the node-sized d_out: one small-table gather, no permutation
     d_out_p = pack_rows(d_out, plans.k_out, plans.n_out_rows)
-    d_lines = d_out_p[b.src_row]                       # (E, 128) small tbl
-    d_v = _select_sub(d_lines, b.out_mod, plans.k_out, out_dim) \
-        * b.norm[:, None]
-    d_G = _expand_sub(d_v, b.in_mod, plans.k_in)       # (E, 128)
-    d_table = sorted_scatter(d_G, b.scatter_local, b.scatter_blk,
-                             table_rows, b.row_block, b.edge_block,
-                             interpret)
-    # slice off the line-padding the packed layout may carry
-    d_table = d_table[:, :table.shape[1]].astype(table.dtype)
-    return d_table, None
+    d_v = _gather_sub(d_out_p, b.src_row, b.out_mod, plans.k_out, out_dim)
+    d_table = _place_scatter(d_v, b.in_mod, b, table_rows, plans.k_in,
+                             out_dim, table.shape[1], interpret)
+    return d_table.astype(table.dtype), None
 
 
 featureless_aggregate.defvjp(_featureless_fwd, _featureless_bwd)
@@ -310,6 +411,32 @@ featureless_aggregate.defvjp(_featureless_fwd, _featureless_bwd)
 # --------------------------------------------------------------------------
 # dense layer: out[src] += norm * (H[dst] @ W[rel])
 # --------------------------------------------------------------------------
+
+def _slab_matmul(x: jnp.ndarray, W: jnp.ndarray, stream: Stream,
+                 in_dim: int, out_dim: int) -> jnp.ndarray:
+    """``x[e] @ W[rel_e]`` on a stream whose slabs are relation-constant:
+    gather ONE (in, out) weight per slab, then a batched MXU matmul.
+    Padding edges carry norm == 0 downstream, so the slab weight applied
+    to them is harmless."""
+    nslab, eb = stream.num_slabs, stream.edge_block
+    Ws = W.reshape(-1, in_dim * out_dim)[stream.slab_rel].reshape(
+        nslab, in_dim, out_dim)
+    return jax.lax.dot_general(
+        x.reshape(nslab, eb, in_dim), Ws,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).reshape(-1, out_dim)
+
+
+def _slab_matmul_t(d: jnp.ndarray, W: jnp.ndarray, stream: Stream,
+                   in_dim: int, out_dim: int) -> jnp.ndarray:
+    """``d[e] @ W[rel_e]^T`` (cotangent side of :func:`_slab_matmul`)."""
+    nslab, eb = stream.num_slabs, stream.edge_block
+    Ws = W.reshape(-1, in_dim * out_dim)[stream.slab_rel].reshape(
+        nslab, in_dim, out_dim)
+    return jax.lax.dot_general(
+        d.reshape(nslab, eb, out_dim), Ws,
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).reshape(-1, in_dim)
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def dense_aggregate(H: jnp.ndarray, W: jnp.ndarray, plans: LayerPlans,
@@ -323,14 +450,18 @@ def dense_aggregate(H: jnp.ndarray, W: jnp.ndarray, plans: LayerPlans,
     """
     f = plans.fwd
     Hp = pack_rows(H, plans.k_in, plans.n_in_rows)
-    Hg = _select_sub(Hp[f.gather_row], f.in_mod, plans.k_in, in_dim)
-    # per-edge weight rows from the tiny (R, in*out) table
-    Wg = W.reshape(-1, in_dim * out_dim)[f.rel].reshape(
-        -1, in_dim, out_dim)
-    v = jnp.einsum("ei,eio->eo", Hg, Wg) * f.norm[:, None]
-    msgs = _expand_sub(v, f.out_mod, plans.k_out)
-    out = sorted_scatter(msgs, f.scatter_local, f.scatter_blk,
-                         plans.n_out_rows, f.row_block, f.edge_block,
+    Hg = _gather_sub(Hp, f.gather_row, f.in_mod, plans.k_in, in_dim)
+    if f.rel_const:
+        # slabs are relation-constant (build_layer_plans): one weight row
+        # per slab, applied as a batched MXU matmul — 500x cheaper than
+        # the per-edge (E, in, out) weight gather + einsum
+        v = _slab_matmul(Hg, W, f, in_dim, out_dim)
+    else:
+        Wg = W.reshape(-1, in_dim * out_dim)[f.rel].reshape(
+            -1, in_dim, out_dim)
+        v = jnp.einsum("ei,eio->eo", Hg, Wg)
+    out = _place_scatter(v, f.out_mod, f, plans.n_out_rows, plans.k_out,
+                         out_dim, line_width(plans.k_out, out_dim),
                          interpret)
     return unpack_rows(out, plans.k_out, plans.num_nodes, out_dim)
 
@@ -346,14 +477,19 @@ def _dense_bwd(in_dim, out_dim, interpret, res, d_out):
 
     # ---- d_H on the dst-sorted stream: d_H[dst] += norm (d_out[src] W^T)
     h = plans.bwd_h
-    d_v_h = _select_sub(d_out_p[h.src_row], h.out_mod, plans.k_out,
-                        out_dim) * h.norm[:, None]
-    WgT = W.reshape(-1, in_dim * out_dim)[h.rel].reshape(
-        -1, in_dim, out_dim)
-    d_Hg = jnp.einsum("eo,eio->ei", d_v_h, WgT)
-    d_Hp = sorted_scatter(_expand_sub(d_Hg, h.in_mod, plans.k_in),
-                          h.scatter_local, h.scatter_blk, plans.n_in_rows,
-                          h.row_block, h.edge_block, interpret)
+    d_v_h = _gather_sub(d_out_p, h.src_row, h.out_mod, plans.k_out,
+                        out_dim)
+    if h.rel_const:
+        d_Hg = _slab_matmul_t(d_v_h, W, h, in_dim, out_dim)
+    else:
+        WgT = W.reshape(-1, in_dim * out_dim)[h.rel].reshape(
+            -1, in_dim, out_dim)
+        d_Hg = jnp.einsum("eo,eio->ei", d_v_h, WgT)
+    # norm is scalar per edge: applied by the place-scatter, after the
+    # weight matmul it commutes with
+    d_Hp = _place_scatter(d_Hg, h.in_mod, h, plans.n_in_rows, plans.k_in,
+                          in_dim, line_width(plans.k_in, in_dim),
+                          interpret)
     d_H = unpack_rows(d_Hp, plans.k_in, plans.num_nodes, in_dim
                       ).astype(H.dtype)
 
@@ -364,8 +500,8 @@ def _dense_bwd(in_dim, out_dim, interpret, res, d_out):
     eb = t.edge_block
     nslab = t.num_slabs
     Hp = pack_rows(H, plans.k_in, plans.n_in_rows)
-    Hg_t = _select_sub(Hp[t.gather_row], t.in_mod, plans.k_in, in_dim)
-    d_v_t = _select_sub(d_out_p[t.src_row], t.out_mod, plans.k_out,
+    Hg_t = _gather_sub(Hp, t.gather_row, t.in_mod, plans.k_in, in_dim)
+    d_v_t = _gather_sub(d_out_p, t.src_row, t.out_mod, plans.k_out,
                         out_dim) * t.norm[:, None]
     per_slab = jax.lax.dot_general(
         Hg_t.reshape(nslab, eb, in_dim), d_v_t.reshape(nslab, eb, out_dim),

@@ -54,7 +54,7 @@ from mrgcn_tpu.ops.pallas_gather import (EDGE_BLOCK, ROW_BLOCK,
 # --------------------------------------------------------------------------
 
 def _segment_layout(major, minor, block_of_edge, edge_block,
-                    split_key=None):
+                    split_key=None, pad_slabs_to=1):
     """Order edges by (major, minor), split where the block id (or, when
     given, ``split_key`` — e.g. a (block, relation) composite so slabs are
     relation-constant) changes, pad each segment to a multiple of
@@ -78,13 +78,14 @@ def _segment_layout(major, minor, block_of_edge, edge_block,
     slab_seg = np.repeat(np.arange(len(lengths)),
                          (padded // edge_block).astype(np.int64))
     slab_blk = blk[seg_starts[:-1]][slab_seg]
-    # pad the slab count to a multiple of the largest super-block factor
-    # (pallas_gather._super_blocks is a power of two <= 64): the kernels'
-    # grid then divides evenly and no stream is ever concat-copied at
-    # dispatch time. Padding slabs match no rows and keep the last block
-    # id (monotonicity + final flush stay correct).
+    # optionally pad the slab count to a multiple of the kernel
+    # super-block factor so the fused place-scatter's grid divides evenly
+    # (its caller requires this). Padding slabs match no rows and keep
+    # the last block id (monotonicity + final flush stay correct). NOT
+    # applied by default: measured +24 ms on the bench epoch when the
+    # default composed path runs over the padded streams.
     nslab = E_pad // edge_block
-    extra = (-nslab) % 64
+    extra = (-nslab) % pad_slabs_to
     if extra:
         E_pad += extra * edge_block
         slab_blk = np.concatenate(
@@ -179,10 +180,15 @@ def build_layer_plans(src, dst, rel, norm, num_nodes: int, k_in: int,
     out_row = src // k_out
     flat_row = rel * n_in_rows + in_row
 
+    # the fused place-scatter kernel (opt-in) needs slab counts divisible
+    # by its super-block factor; the default composed path measures FASTER
+    # on unpadded streams, so pad only when the fused path is enabled
+    pad_to = 64 if os.environ.get("MRGCN_FUSED_PLACE") == "1" else 1
+
     def mk(major, minor, scatter_row, split_key=None, rel_const=False):
         order, slots, E_pad, slab_blk = _segment_layout(
             major, minor, scatter_row // row_block, edge_block,
-            split_key=split_key)
+            split_key=split_key, pad_slabs_to=pad_to)
         nslab = E_pad // edge_block
 
         def place(arr, fill, dtype=np.int32):

@@ -15,6 +15,14 @@ from mrgcn_tpu.ops import relational as rl
 from mrgcn_tpu.ops.pallas_gather import fused_place_scatter, sorted_scatter
 
 
+@pytest.fixture(autouse=True)
+def _enable_fused(monkeypatch):
+    # plan slab counts are only padded to the kernel's super-block factor
+    # when the fused path is enabled (the composed default runs faster on
+    # unpadded streams)
+    monkeypatch.setenv("MRGCN_FUSED_PLACE", "1")
+
+
 def _plan(seed=0, n=700, E=2500, R=9, k=8, kind="dense"):
     rng = np.random.default_rng(seed)
     src = rng.integers(0, n, E).astype(np.int32)

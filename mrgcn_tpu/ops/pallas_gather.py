@@ -219,7 +219,8 @@ sorted_gather.defvjp(_sorted_gather_fwd, _sorted_gather_bwd)
 # Sorted block-scatter: the transpose twin of sorted_gather
 # --------------------------------------------------------------------------
 
-def _scatter_kernel(outblk_ref, local_ref, msgs_ref, out_hbm, acc, sems, *,
+def _scatter_kernel(outblk_ref, local_ref, msgs_ref, out_hbm, acc, sems,
+                    cnt, pblk, *,
                     row_block: int, edge_block: int, super_blocks: int,
                     n_sub: int):
     """Accumulate ``out[outblk*RB + local] += msgs`` for a stream whose
@@ -228,13 +229,18 @@ def _scatter_kernel(outblk_ref, local_ref, msgs_ref, out_hbm, acc, sems, *,
     HBM by async DMA when the block id changes."""
     s = pl.program_id(0)
     base = s * super_blocks
+    L = acc.shape[-1]
+    zero_blk = jnp.zeros((row_block, L), jnp.float32)
 
     @pl.when(s == 0)
     def _():
-        acc[:] = jnp.zeros_like(acc)
+        acc[0] = zero_blk
+        acc[1] = zero_blk
+        cnt[0] = 0
 
     for j in range(super_blocks):
         g = base + j
+        cur = cnt[0] % 2
         lo = local_ref[0, 0:1, j * edge_block:(j + 1) * edge_block]
         riota = jax.lax.broadcasted_iota(
             jnp.int32, (row_block, edge_block), 0)
@@ -243,7 +249,7 @@ def _scatter_kernel(outblk_ref, local_ref, msgs_ref, out_hbm, acc, sems, *,
             onehot, msgs_ref[0, j * edge_block:(j + 1) * edge_block, :],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)           # (RB, L)
-        acc[:] += contrib
+        acc[cur] += contrib
 
         is_last = g == n_sub - 1
         nxt = jnp.minimum(g + 1, n_sub - 1)
@@ -251,15 +257,39 @@ def _scatter_kernel(outblk_ref, local_ref, msgs_ref, out_hbm, acc, sems, *,
 
         @pl.when(changes)
         def _():
-            # synchronous flush: block changes are rare relative to
-            # sub-blocks (once per distinct output block)
-            cp = pltpu.make_async_copy(
-                acc,
+            # double-buffered flush: start this buffer's DMA, then switch
+            # to the other buffer, waiting out ITS previous DMA (streams
+            # like the relation-major backward flush nearly every slab —
+            # a synchronous wait per flush serialises ~us-scale latency
+            # thousands of times)
+            c = cnt[0]
+            slot = c % 2
+            other = 1 - slot
+            pltpu.make_async_copy(
+                acc.at[slot],
                 out_hbm.at[pl.ds(outblk_ref[g] * row_block, row_block), :],
-                sems)
-            cp.start()
-            cp.wait()
-            acc[:] = jnp.zeros_like(acc)
+                sems.at[slot]).start()
+            pblk[slot] = outblk_ref[g]
+
+            @pl.when(c >= 1)
+            def _():
+                pltpu.make_async_copy(
+                    acc.at[other],
+                    out_hbm.at[pl.ds(pblk[other] * row_block, row_block),
+                               :],
+                    sems.at[other]).wait()
+            acc[other] = zero_blk
+            cnt[0] = c + 1
+
+        @pl.when(is_last)
+        def _():
+            # drain the final flush (its partner was drained at start)
+            c = cnt[0]
+            last = (c - 1) % 2
+            pltpu.make_async_copy(
+                acc.at[last],
+                out_hbm.at[pl.ds(pblk[last] * row_block, row_block), :],
+                sems.at[last]).wait()
 
 
 def _pallas_scatter(msgs, local, out_blk, out_rows, *, row_block,
@@ -296,8 +326,10 @@ def _pallas_scatter(msgs, local, out_blk, out_rows, *, row_block,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((row_block, L), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, row_block, L), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
         ],
     )
     kernel = partial(_scatter_kernel, row_block=row_block,

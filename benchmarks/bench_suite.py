@@ -175,9 +175,17 @@ def bench_lp(steps=5):
     hidden, B = 200, 2
     plans = rl.plans_for_layers(w["src"], w["dst"], w["rel"], w["norm"], n,
                                 [(None, hidden), (hidden, hidden)])
+    from mrgcn_tpu.encodings.structure import group_by_relation
+    grouping = group_by_relation(w["src"], w["dst"], w["rel"], w["norm"],
+                                 n)
     edges = EdgeBlock(src=jnp.asarray(w["src"]), dst=jnp.asarray(w["dst"]),
                       rel=jnp.asarray(w["rel"]),
-                      norm=jnp.asarray(w["norm"]), num_out=n, plans=plans)
+                      norm=jnp.asarray(w["norm"]), num_out=n, plans=plans,
+                      grp_src=jnp.asarray(grouping.src),
+                      grp_dst=jnp.asarray(grouping.dst),
+                      grp_norm=jnp.asarray(grouping.norm),
+                      group_rel=jnp.asarray(grouping.group_rel),
+                      group_size=grouping.group_size)
     model = RGCN(hidden_dims=(hidden, hidden), num_relations=R,
                  num_nodes=n, num_bases=B, featureless=True,
                  link_prediction=True)

@@ -197,6 +197,14 @@ class RGCNLayer(nn.Module):
         weight_f = self.param("weight_f", tinit.xavier_uniform(),
                               (S, H.shape[-1], self.out_dim))
         plan_f = edges.plan_for(H.shape[-1], self.out_dim)
+        if plan_f is not None and not plan_f.fwd.rel_const \
+                and H.shape[-1] * self.out_dim > 4096:
+            # without relation-constant slabs the plan path applies weights
+            # via a per-edge (E, in, out) gather + einsum; for wide layers
+            # (LP's 200x200) XLA cannot keep that fused and the compile
+            # OOMs on a ~45 GB remat buffer — the relation-grouped batched
+            # matmul below is the right formulation there
+            plan_f = None
         agg = None
         if plan_f is not None:
             from mrgcn_tpu.ops import relational as rl

@@ -462,13 +462,21 @@ def dense_aggregate(H: jnp.ndarray, W: jnp.ndarray, plans: LayerPlans,
         # per slab, applied as a batched MXU matmul — 500x cheaper than
         # the per-edge (E, in, out) weight gather + einsum
         v = _slab_matmul(Hg, W, f, in_dim, out_dim)
+        out = _place_scatter(v, f.out_mod, f, plans.n_out_rows,
+                             plans.k_out, out_dim,
+                             line_width(plans.k_out, out_dim), interpret)
     else:
+        # keep the per-edge weight gather IMMEDIATELY feeding the einsum
+        # and the scatter — XLA only avoids materialising the (E, in*out)
+        # gather (45 GB at FB15k-237 shapes) when this exact producer/
+        # consumer chain fuses
         Wg = W.reshape(-1, in_dim * out_dim)[f.rel].reshape(
             -1, in_dim, out_dim)
-        v = jnp.einsum("ei,eio->eo", Hg, Wg)
-    out = _place_scatter(v, f.out_mod, f, plans.n_out_rows, plans.k_out,
-                         out_dim, line_width(plans.k_out, out_dim),
-                         interpret)
+        v = jnp.einsum("ei,eio->eo", Hg, Wg) * f.norm[:, None]
+        msgs = _expand_sub(v, f.out_mod, plans.k_out)
+        out = sorted_scatter(msgs, f.scatter_local, f.scatter_blk,
+                             plans.n_out_rows, f.row_block, f.edge_block,
+                             interpret)
     return unpack_rows(out, plans.k_out, plans.num_nodes, out_dim)
 
 
@@ -483,19 +491,26 @@ def _dense_bwd(in_dim, out_dim, interpret, res, d_out):
 
     # ---- d_H on the dst-sorted stream: d_H[dst] += norm (d_out[src] W^T)
     h = plans.bwd_h
-    d_v_h = _gather_sub(d_out_p, h.src_row, h.out_mod, plans.k_out,
-                        out_dim)
     if h.rel_const:
+        d_v_h = _gather_sub(d_out_p, h.src_row, h.out_mod, plans.k_out,
+                            out_dim)
         d_Hg = _slab_matmul_t(d_v_h, W, h, in_dim, out_dim)
+        # norm is scalar per edge: applied by the place-scatter, after
+        # the weight matmul it commutes with
+        d_Hp = _place_scatter(d_Hg, h.in_mod, h, plans.n_in_rows,
+                              plans.k_in, in_dim,
+                              line_width(plans.k_in, in_dim), interpret)
     else:
+        # fusion-critical chain — see the forward's non-rel_const branch
+        d_v_h = _gather_sub(d_out_p, h.src_row, h.out_mod, plans.k_out,
+                            out_dim) * h.norm[:, None]
         WgT = W.reshape(-1, in_dim * out_dim)[h.rel].reshape(
             -1, in_dim, out_dim)
         d_Hg = jnp.einsum("eo,eio->ei", d_v_h, WgT)
-    # norm is scalar per edge: applied by the place-scatter, after the
-    # weight matmul it commutes with
-    d_Hp = _place_scatter(d_Hg, h.in_mod, h, plans.n_in_rows, plans.k_in,
-                          in_dim, line_width(plans.k_in, in_dim),
-                          interpret)
+        d_Hp = sorted_scatter(_expand_sub(d_Hg, h.in_mod, plans.k_in),
+                              h.scatter_local, h.scatter_blk,
+                              plans.n_in_rows, h.row_block, h.edge_block,
+                              interpret)
     d_H = unpack_rows(d_Hp, plans.k_in, plans.num_nodes, in_dim
                       ).astype(H.dtype)
 

@@ -79,6 +79,35 @@ def main():
         lambda t: rl.featureless_aggregate(t, plan, hidden),
         flat0, iters=10))
 
+    # force the composed table through a Pallas passthrough: materialises
+    # a fresh buffer in the canonical tiled layout before the gather
+    from jax.experimental import pallas as pl
+
+    def _copy_kernel(i_ref, o_ref):
+        o_ref[:] = i_ref[:]
+
+    def canonical(x):
+        rows = x.shape[0]
+        blk = min(rows, 4096)   # (blk, 128) f32 x2 must fit VMEM
+        while rows % blk:
+            blk -= 1
+        return pl.pallas_call(
+            _copy_kernel,
+            grid=(rows // blk,),
+            in_specs=[pl.BlockSpec((blk, x.shape[1]),
+                                   lambda i: (i, 0))],
+            out_specs=pl.BlockSpec((blk, x.shape[1]), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        )(x)
+
+    def with_copy(pk, c):
+        flat = jnp.dot(c, pk.reshape(S, -1),
+                       preferred_element_type=jnp.float32)
+        return rl.featureless_aggregate(
+            canonical(flat.reshape(-1, lw)), plan, hidden)
+    report("pallas_copy_ms", per_iter_time(with_copy, packed, comp,
+                                           iters=10))
+
     print("FINAL " + json.dumps(results), flush=True)
 
 

@@ -158,33 +158,40 @@ class TextEncoder(nn.Module):
     p_dropout: float = 0.2
     max_len: int = 512
     pad_id: int = 256
+    # compute dtype for the transformer body: bf16 activations halve the
+    # (N, L, d)-scale HBM traffic that dominates this encoder on TPU
+    # (params and LayerNorm statistics stay f32; the head returns f32)
+    dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray, train: bool = False
                  ) -> jnp.ndarray:
         # tokens: (N, L) int32
         mask = (tokens != self.pad_id)
-        x = nn.Embed(self.vocab_size, self.model_dim)(tokens)
+        x = nn.Embed(self.vocab_size, self.model_dim,
+                     dtype=self.dtype)(tokens)
         pos = self.param("pos_embedding",
                          nn.initializers.normal(stddev=0.02),
                          (self.max_len, self.model_dim))
-        x = x + pos[:tokens.shape[1]][None, :, :]
+        x = x + pos[:tokens.shape[1]][None, :, :].astype(self.dtype)
 
         attn_mask = nn.make_attention_mask(mask, mask)
         for _ in range(self.num_layers):
-            y = nn.LayerNorm()(x)
+            y = nn.LayerNorm(dtype=self.dtype)(x)
             y = nn.MultiHeadDotProductAttention(
                 num_heads=self.num_heads, qkv_features=self.model_dim,
+                dtype=self.dtype,
                 deterministic=not train)(y, y, mask=attn_mask)
             x = x + y
-            y = nn.LayerNorm()(x)
-            y = nn.Dense(4 * self.model_dim)(y)
+            y = nn.LayerNorm(dtype=self.dtype)(x)
+            y = nn.Dense(4 * self.model_dim, dtype=self.dtype)(y)
             y = nn.gelu(y)
-            y = nn.Dense(self.model_dim)(y)
+            y = nn.Dense(self.model_dim, dtype=self.dtype)(y)
             x = x + y
-        x = nn.LayerNorm()(x)
+        x = nn.LayerNorm(dtype=self.dtype)(x)
 
-        pooled = x[:, 0]  # CLS pooling (reference: transformer.py:30-31)
+        pooled = x[:, 0].astype(jnp.float32)  # CLS pooling
+        # (reference: transformer.py:30-31)
         pooled = nn.Dense(self.model_dim,
                           kernel_init=tinit.torch_linear_kernel())(pooled)
         pooled = nn.relu(pooled)
@@ -196,17 +203,21 @@ class TextEncoder(nn.Module):
 class _SeparableBlock(nn.Module):
     features: int
     stride: int = 1
+    dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         in_feat = x.shape[-1]
         x = nn.Conv(in_feat, (3, 3), strides=(self.stride, self.stride),
                     padding="SAME", feature_group_count=in_feat,
-                    use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+                    use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.Conv(self.features, (1, 1), use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+        x = nn.Conv(self.features, (1, 1), use_bias=False,
+                    dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -218,19 +229,22 @@ class ImageCNN(nn.Module):
     output_dim: int
     p_dropout: float = 0.2
     width: int = 32
+    # bf16 conv compute (params f32; head in f32) — see TextEncoder.dtype
+    dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         w = self.width
         x = nn.Conv(w, (3, 3), strides=(2, 2), padding="SAME",
-                    use_bias=False)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+                    use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype)(x)
         x = nn.relu(x)
         for features, stride in ((w * 2, 2), (w * 2, 1), (w * 4, 2),
                                  (w * 4, 1), (w * 8, 2), (w * 8, 1),
                                  (w * 16, 2)):
-            x = _SeparableBlock(features, stride)(x, train)
-        x = jnp.mean(x, axis=(1, 2))  # global average pool
+            x = _SeparableBlock(features, stride, dtype=self.dtype)(x, train)
+        x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # global avg pool
         inter = x.shape[-1]
         x = nn.Dense(inter, kernel_init=tinit.torch_linear_kernel())(x)
         x = nn.relu(x)

@@ -25,8 +25,10 @@ def _format_of(path: str) -> str:
     (reference: data/io/knowledge_graph.py:45-56)."""
     stem = path[:-3] if path.endswith(".gz") else path
     ext = stem.rsplit(".", 1)[-1].lower() if "." in stem else ""
-    if ext in ("nt", "ntriples", "nq"):
+    if ext in ("nt", "ntriples"):
         return "ntriples"
+    if ext in ("nq", "nquads"):
+        return "nquads"   # graph labels parsed and ignored
     if ext in ("ttl", "turtle", "n3"):
         return "turtle"
     if ext in ("rdf", "rdfs", "owl", "xml"):
@@ -49,6 +51,15 @@ def _read_path(path: str):
     if fmt == "rdfxml":
         from mrgcn_tpu.data import rdfxml
         return rdfxml.parse_file(path)
+    if fmt == "nquads":
+        # the Python N-Triples parser accepts the N-Quads graph label;
+        # the native fast path does not — keep quads on the Python path
+        triples = list(parse_file(path))
+        if not triples and _has_content(path):
+            raise ValueError(
+                f"{path}: no valid N-Quads statements found in a "
+                "non-empty file — wrong serialisation?")
+        return triples
 
     triples = None
     try:

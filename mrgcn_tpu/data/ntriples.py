@@ -61,6 +61,7 @@ _TRIPLE_RE = re.compile(r"""
           |\^\^<(?P<o_dtype>[^>]*)>
         )?
     )
+    (?:[ \t]+(?:<[^>]*>|_:\S+))?      # N-Quads graph label (ignored)
     [ \t]*\.[ \t]*(?:\#.*)?$
 """, re.VERBOSE)
 

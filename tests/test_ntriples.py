@@ -64,3 +64,28 @@ def test_parse_reference_dataset():
     # every triple term is well-formed
     for s, p, o in triples[:100]:
         assert isinstance(p, IRI)
+
+
+def test_nquads_graph_label_ignored(tmp_path):
+    """.nq files: the graph label is parsed and dropped (reference accepts
+    any rdflib format incl. N-Quads; knowledge_graph.py:45-56)."""
+    from mrgcn_tpu.data.kg import KnowledgeGraph
+    from mrgcn_tpu.data.ntriples import parse_lines
+    from mrgcn_tpu.data.rdf import IRI, Literal
+
+    lines = [
+        '<http://a/s> <http://a/p> <http://a/o> <http://a/g> .',
+        '<http://a/s> <http://a/p> "lit"@en <http://a/g> .',
+        '_:b <http://a/p> "x"^^<http://a/t> _:g .',
+        '<http://a/s> <http://a/p> <http://a/o2> .',   # plain triple too
+    ]
+    out = list(parse_lines(lines))
+    assert len(out) == 4
+    assert out[0] == (IRI("http://a/s"), IRI("http://a/p"),
+                      IRI("http://a/o"))
+    assert out[1][2] == Literal("lit", "en")
+
+    p = tmp_path / "g.nq"
+    p.write_text("\n".join(lines) + "\n")
+    kg = KnowledgeGraph(str(p))
+    assert len(list(kg.triples())) == 4

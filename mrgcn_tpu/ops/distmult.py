@@ -60,8 +60,12 @@ def _chunk_ranks(data, node_embeddings, edge_embeddings, filter_fact,
         part = node_embeddings[s_idx] * edge_embeddings[p_idx]
         targets = o_idx
 
+    # HIGHEST: the TPU default lowers f32 matmuls to one-pass bf16, which
+    # collapses near-equal scores into exact ties and changes the
+    # tie-corrected ranks vs the f32 reference
     scores = jnp.dot(part, node_embeddings.T,
-                     preferred_element_type=jnp.float32)  # (F, N)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)  # (F, N)
 
     # mini-batch ranking: rows beyond the batch's real node count are
     # padding, never candidates. num_valid is traced (a jnp scalar) so

@@ -106,7 +106,8 @@ def _gather_kernel(tbl_ref, local_ref, table_hbm, out_ref, slab, sems, *,
         out_ref[j * edge_block:(j + 1) * edge_block, :] = \
             jax.lax.dot_general(
                 onehot_t, slab[j % n_buf], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
 
 
 def _pallas_gather(table, local, tbl_idx, *, row_block, edge_block,
@@ -248,7 +249,8 @@ def _scatter_kernel(outblk_ref, local_ref, msgs_ref, out_hbm, acc, sems,
         contrib = jax.lax.dot_general(
             onehot, msgs_ref[0, j * edge_block:(j + 1) * edge_block, :],
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)           # (RB, L)
+            preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)           # (RB, L)
         acc[cur] += contrib
 
         is_last = g == n_sub - 1
@@ -441,7 +443,8 @@ def _fused_place_kernel(out_blk_ref, local_ref, v_ref, out_hbm, acc,
         onehot = (rio == lo).astype(jnp.float32)           # (RB, EB)
         acc[:] += jax.lax.dot_general(
             onehot, lines, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
 
         is_last = g == n_sub - 1
         nxt = jnp.minimum(g + 1, n_sub - 1)

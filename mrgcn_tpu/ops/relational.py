@@ -430,7 +430,8 @@ def _slab_matmul(x: jnp.ndarray, W: jnp.ndarray, stream: Stream,
     return jax.lax.dot_general(
         x.reshape(nslab, eb, in_dim), Ws,
         (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).reshape(-1, out_dim)
+        preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST).reshape(-1, out_dim)
 
 
 def _slab_matmul_t(d: jnp.ndarray, W: jnp.ndarray, stream: Stream,
@@ -442,7 +443,8 @@ def _slab_matmul_t(d: jnp.ndarray, W: jnp.ndarray, stream: Stream,
     return jax.lax.dot_general(
         d.reshape(nslab, eb, out_dim), Ws,
         (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).reshape(-1, in_dim)
+        preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST).reshape(-1, in_dim)
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def dense_aggregate(H: jnp.ndarray, W: jnp.ndarray, plans: LayerPlans,
@@ -527,7 +529,8 @@ def _dense_bwd(in_dim, out_dim, interpret, res, d_out):
     per_slab = jax.lax.dot_general(
         Hg_t.reshape(nslab, eb, in_dim), d_v_t.reshape(nslab, eb, out_dim),
         (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)            # (nslab, in, out)
+        preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)            # (nslab, in, out)
     d_W = jax.ops.segment_sum(per_slab.reshape(nslab, in_dim * out_dim),
                               t.slab_rel, num_segments=W.shape[0])
     d_W = d_W.reshape(W.shape).astype(W.dtype)

@@ -1,0 +1,207 @@
+"""Roofline / MFU accounting for the three headline regimes.
+
+For each regime (featureless NC epoch, multimodal NC epoch, LP epoch) this
+builds the same jitted train step the benchmarks run, then reports:
+
+  * measured step time (benchmarks/timing.py protocol)
+  * XLA's own cost analysis (flops / bytes accessed) for the compiled
+    program — the defensible, compiler-derived numbers
+  * a hand-model for the Pallas kernels XLA treats as opaque custom calls
+    (the sorted block-scatter's stream reads + block flushes)
+  * the binding roofline: max(flops / MXU peak, bytes / HBM peak) and the
+    achieved fraction of it
+
+v5e peaks used (public spec): 197 TFLOP/s bf16 MXU, 819 GB/s HBM. The
+aggregation path pins f32 HIGHEST (≈ 6 bf16 MXU passes per f32 MAC), so
+the MXU roofline for exact-f32 matmul work is 197/6 ≈ 32.8 TFLOP/s; the
+report states flops at logical count and shows both bounds.
+
+Prints one JSON line per regime.  Run: python benchmarks/roofline.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PEAK_BF16_FLOPS = 197e12
+PEAK_F32_HIGHEST_FLOPS = PEAK_BF16_FLOPS / 6
+HBM_BYTES_S = 819e9
+
+
+def _cost(compiled):
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return (float(ca.get("flops", 0.0)),
+            float(ca.get("bytes accessed", 0.0)))
+
+
+def _pallas_stream_bytes(plans_dict, n_streams_per_plan=3):
+    """Estimated HBM bytes the sorted block-scatter kernels move per step
+    (XLA cost analysis sees them as opaque custom calls): each stream's
+    scatter reads its (E_pad, 128) f32 message buffer once and flushes
+    each visited (row_block, 128) output block once."""
+    total = 0
+    for plan in plans_dict.values():
+        for s in (plan.fwd, plan.bwd_table, plan.bwd_h):
+            e_pad = int(np.prod(s.scatter_local.shape))
+            total += e_pad * 128 * 4                      # msgs read
+            blocks = len(set(np.asarray(s.scatter_blk).tolist()))
+            total += blocks * s.row_block * 128 * 4       # block flushes
+    return total
+
+
+def analyze(name, step_fn, args, plans=None, extra=None):
+    import jax
+
+    from benchmarks.timing import per_iter_time
+
+    compiled = jax.jit(step_fn).lower(*args).compile()
+    flops, xla_bytes = _cost(compiled)
+    pallas_bytes = _pallas_stream_bytes(plans) if plans else 0
+    total_bytes = xla_bytes + pallas_bytes
+
+    t = per_iter_time(step_fn, *args, iters=8)
+
+    t_flops_bf16 = flops / PEAK_BF16_FLOPS
+    t_flops_f32 = flops / PEAK_F32_HIGHEST_FLOPS
+    t_bw = total_bytes / HBM_BYTES_S
+    bound = "hbm" if t_bw >= t_flops_f32 else "mxu"
+    binding = max(t_bw, t_flops_f32)
+    out = {
+        "regime": name,
+        "step_time_s": round(t, 6),
+        "xla_flops": flops,
+        "xla_bytes": xla_bytes,
+        "pallas_bytes_est": pallas_bytes,
+        "hbm_bound_s": round(t_bw, 6),
+        "mxu_bound_bf16_s": round(t_flops_bf16, 6),
+        "mxu_bound_f32hi_s": round(t_flops_f32, 6),
+        "binding": bound,
+        "roofline_pct": round(100 * binding / t, 1) if t > 0 else None,
+    }
+    if extra:
+        out.update(extra)
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def featureless_step():
+    """The bench.py workload as a single jitted train step."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from benchmarks.torch_baseline import build_workload
+    from mrgcn_tpu.models.rgcn import RGCN, EdgeBlock
+    from mrgcn_tpu.ops import relational as rl
+
+    w = build_workload()
+    n, R, B = w["n"], w["R"], w["num_bases"]
+    hidden, C = w["hidden"], w["num_classes"]
+    plans = rl.plans_for_layers(w["src"], w["dst"], w["rel"], w["norm"], n,
+                                [(None, hidden), (hidden, C)])
+    edges = EdgeBlock(src=jnp.asarray(w["src"]), dst=jnp.asarray(w["dst"]),
+                      rel=jnp.asarray(w["rel"]),
+                      norm=jnp.asarray(w["norm"]), num_out=n, plans=plans)
+    model = RGCN(hidden_dims=(hidden, C), num_relations=R, num_nodes=n,
+                 num_bases=B, featureless=True)
+    params = model.init(jax.random.PRNGKey(0), None, edges)["params"]
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0),
+                            optax.adam(0.01))
+    opt_state = optimizer.init(params)
+    labels_idx = jnp.asarray(w["labels_idx"].astype(np.int32))
+    labels_cls = jnp.asarray(w["labels_cls"].astype(np.int32))
+
+    def step(params, opt_state):
+        def loss_fn(p):
+            out = model.apply({"params": p}, None, edges)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                out[labels_idx], labels_cls).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step, (params, opt_state), plans
+
+
+def lp_step():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from benchmarks.bench_suite import lp_workload
+    from mrgcn_tpu.encodings.structure import group_by_relation
+    from mrgcn_tpu.models.rgcn import RGCN, EdgeBlock
+    from mrgcn_tpu.ops import distmult
+    from mrgcn_tpu.ops import relational as rl
+
+    w = lp_workload()
+    n, R = w["n"], w["R"]
+    hidden, B = 200, 2
+    plans = rl.plans_for_layers(w["src"], w["dst"], w["rel"], w["norm"], n,
+                                [(None, hidden), (hidden, hidden)])
+    grouping = group_by_relation(w["src"], w["dst"], w["rel"], w["norm"], n)
+    edges = EdgeBlock(src=jnp.asarray(w["src"]), dst=jnp.asarray(w["dst"]),
+                      rel=jnp.asarray(w["rel"]),
+                      norm=jnp.asarray(w["norm"]), num_out=n, plans=plans,
+                      grp_src=jnp.asarray(grouping.src),
+                      grp_dst=jnp.asarray(grouping.dst),
+                      grp_norm=jnp.asarray(grouping.norm),
+                      group_rel=jnp.asarray(grouping.group_rel),
+                      group_size=grouping.group_size)
+    model = RGCN(hidden_dims=(hidden, hidden), num_relations=R,
+                 num_nodes=n, num_bases=B, featureless=True,
+                 link_prediction=True)
+    params = model.init(jax.random.PRNGKey(0), None, edges)["params"]
+    optimizer = optax.chain(optax.clip_by_global_norm(1.0),
+                            optax.adam(0.01))
+    opt_state = optimizer.init(params)
+    trip = jnp.asarray(w["trip"])
+    ncorrupt = trip.shape[0] // 5
+    labels = jnp.concatenate([jnp.ones(trip.shape[0]),
+                              jnp.zeros(ncorrupt)])
+
+    def step(params, opt_state, rngkey):
+        k1, k2, k3 = jax.random.split(rngkey, 3)
+        pick = jax.random.choice(k1, trip.shape[0], (ncorrupt,),
+                                 replace=False)
+        corrupt = trip[pick]
+        heads = jax.random.randint(k2, (ncorrupt // 2,), 0, n)
+        tails = jax.random.randint(k3, (ncorrupt - ncorrupt // 2,), 0, n)
+        corrupt = corrupt.at[:ncorrupt // 2, 0].set(heads)
+        corrupt = corrupt.at[ncorrupt // 2:, 2].set(tails)
+        batch = jnp.concatenate([trip, corrupt], axis=0)
+
+        def loss_fn(p):
+            emb = model.apply({"params": p}, None, edges)
+            score = distmult.score(batch[:, 0], batch[:, 1], batch[:, 2],
+                                   emb, p["relations"])
+            return optax.sigmoid_binary_cross_entropy(score, labels).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    import jax.random as jrandom
+    return step, (params, opt_state, jrandom.PRNGKey(7)), plans
+
+
+def main():
+    import jax  # noqa: F401  (device check)
+
+    step, args, plans = featureless_step()
+    analyze("featureless_nc_epoch", step, args, plans=plans)
+
+    step, args, plans = lp_step()
+    analyze("lp_fb15k237_epoch", step, args, plans=plans)
+
+
+if __name__ == "__main__":
+    sys.exit(main() or 0)

@@ -49,12 +49,17 @@ def _read_path(path: str):
         from mrgcn_tpu.data import turtle
         return turtle.parse_file(path)
     if fmt == "rdfxml":
+        # resolve relative rdf:about/resource/ID against the document URI,
+        # as rdflib does (reference: data/io/knowledge_graph.py:45-56) —
+        # otherwise cross-file references to the same absolute IRI diverge
+        import pathlib
         from mrgcn_tpu.data import rdfxml
-        return rdfxml.parse_file(path)
+        base = pathlib.Path(path).absolute().as_uri()
+        return rdfxml.parse_file(path, base_iri=base)
     if fmt == "nquads":
-        # the Python N-Triples parser accepts the N-Quads graph label;
-        # the native fast path does not — keep quads on the Python path
-        triples = list(parse_file(path))
+        # only this dispatch path accepts the N-Quads graph label; the
+        # native fast path does not — keep quads on the Python path
+        triples = list(parse_file(path, allow_quads=True))
         if not triples and _has_content(path):
             raise ValueError(
                 f"{path}: no valid N-Quads statements found in a "

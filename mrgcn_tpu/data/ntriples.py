@@ -61,7 +61,7 @@ _TRIPLE_RE = re.compile(r"""
           |\^\^<(?P<o_dtype>[^>]*)>
         )?
     )
-    (?:[ \t]+(?:<[^>]*>|_:\S+))?      # N-Quads graph label (ignored)
+    (?P<g_label>[ \t]+(?:<[^>]*>|_:\S+))?  # N-Quads graph label
     [ \t]*\.[ \t]*(?:\#.*)?$
 """, re.VERBOSE)
 
@@ -70,12 +70,18 @@ class NTriplesError(ValueError):
     pass
 
 
-def parse_line(line: str) -> Triple:
+def parse_line(line: str, allow_quads: bool = False) -> Triple:
     m = _TRIPLE_RE.match(line)
     if m is None:
         raise NTriplesError(f"malformed N-Triples line: {line!r}")
 
     g = m.groupdict()
+    if g["g_label"] is not None and not allow_quads:
+        # graph labels are only legal on the N-Quads dispatch path; plain
+        # .nt parsing must reject them so the Python fallback counts the
+        # same triples as the native C++ parser (which skips such lines)
+        raise NTriplesError(f"N-Quads graph label in N-Triples input: "
+                            f"{line!r}")
     if g["s_iri"] is not None:
         s: Term = IRI(_unescape(g["s_iri"]))
     else:
@@ -101,24 +107,28 @@ def _open_text(path: str) -> io.TextIOBase:
     return open(path, "r", encoding="utf-8")
 
 
-def parse_lines(lines: Iterable[str], strict: bool = False) -> Iterator[Triple]:
+def parse_lines(lines: Iterable[str], strict: bool = False,
+                allow_quads: bool = False) -> Iterator[Triple]:
     """Yield triples from an iterable of N-Triples lines.
 
     Malformed lines are skipped (counted) unless ``strict``; the reference's
     data pipeline is similarly fail-soft at the literal level
-    (reference: mrgcn/encodings/xsd/numeric.py:115-119).
+    (reference: mrgcn/encodings/xsd/numeric.py:115-119). ``allow_quads``
+    accepts (and drops) an N-Quads graph label — only the .nq dispatch path
+    sets it.
     """
     for line in lines:
         stripped = line.strip()
         if not stripped or stripped.startswith("#"):
             continue
         try:
-            yield parse_line(stripped)
+            yield parse_line(stripped, allow_quads=allow_quads)
         except NTriplesError:
             if strict:
                 raise
 
 
-def parse_file(path: str, strict: bool = False) -> Iterator[Triple]:
+def parse_file(path: str, strict: bool = False,
+               allow_quads: bool = False) -> Iterator[Triple]:
     with _open_text(path) as f:
-        yield from parse_lines(f, strict=strict)
+        yield from parse_lines(f, strict=strict, allow_quads=allow_quads)

@@ -70,6 +70,8 @@ def load_tokenizer(feature_config: Dict):
         name = next((s for s in reversed(spec) if "=" not in s), None)
         if name:
             try:
+                from mrgcn_tpu.utils.hf import force_hf_offline
+                force_hf_offline()
                 from transformers import AutoTokenizer
                 tokenizer = AutoTokenizer.from_pretrained(
                     name, local_files_only=True)

@@ -21,7 +21,7 @@ from mrgcn_tpu.data.kg import KnowledgeGraph
 from mrgcn_tpu.data.utils import (is_readable, is_writable, strip_graph,
                                   triples_to_indices)
 from mrgcn_tpu.encodings import structure
-from mrgcn_tpu.tasks import link_prediction, node_classification
+from mrgcn_tpu.tasks import build as dataset_build
 from mrgcn_tpu.utils.logging import init_logger
 
 logger = logging.getLogger(__name__)
@@ -48,15 +48,15 @@ def build(config: dict):
         with KnowledgeGraph(config["graph"]["context"]) as kg:
             strip_graph(kg, config)
             A, nodes_map, _ = structure.generate(kg, config)
-            F, Y, sample_map, class_map = node_classification.build_dataset(
+            F, Y, sample_map, class_map = dataset_build.build_dataset_nc(
                 kg, nodes_map, triples, config, featureless)
     elif task == "link prediction":
         with KnowledgeGraph([config["graph"]["train"],
                              config["graph"]["valid"],
                              config["graph"]["test"]]) as kg:
             A, nodes_map, edges_map = structure.generate(kg, config)
-            F = link_prediction.build_dataset(kg, nodes_map, config,
-                                              featureless)
+            F = dataset_build.build_dataset_lp(kg, nodes_map, config,
+                                               featureless)
             Y = {}
 
             separate_literals = \

@@ -36,12 +36,16 @@ def hub_model_name(hub_spec) -> Optional[str]:
                  if isinstance(s, str) and "=" not in s), None)
 
 
+from mrgcn_tpu.utils.hf import force_hf_offline as _force_hf_offline
+
+
 def load_text_backbone(hub_spec) -> Optional[Tuple]:
     """(flax module, frozen params) for a locally cached HF LM, else None."""
     name = hub_model_name(hub_spec)
     if name is None:
         return None
     try:
+        _force_hf_offline()
         from transformers import FlaxAutoModel
         model = FlaxAutoModel.from_pretrained(name, local_files_only=True)
         logger.info("Using pretrained language model %s (frozen)", name)

@@ -50,8 +50,12 @@ class EdgeBlock:
     group_size: Optional[int] = struct.field(pytree_node=False, default=None)
     # sorted-stream layer plans keyed by "kin:kout" (see ops/relational.py)
     # — the Pallas fast path; built for full-batch edges only
-    # (dst == dst_global), dict keys are static pytree structure
+    # (dst == dst_global), dict keys are static pytree structure.
+    # Under a mesh the plans are per-shard stacked (LayerPlans.num_shards
+    # > 1) and ``mesh`` carries the jax.sharding.Mesh the shard_map
+    # wrappers run over (static metadata — meshes are hashable).
     plans: Optional[dict] = None
+    mesh: Optional[object] = struct.field(pytree_node=False, default=None)
 
     def plan_for(self, in_width: int, out_width: int,
                  identity: bool = False):
@@ -99,15 +103,52 @@ def _identity_planned(packed, comp, plan, out_dim):
     else:
         pk = packed
     if comp is not None:
-        # 2-D matmul, NOT einsum("rs,sgl->rgl"): XLA lowers that einsum's
-        # backward (contraction over the huge (rows, lanes) dims)
-        # catastrophically on TPU, while the reshaped dot and its
-        # transpose are plain MXU matmuls
-        flat = jnp.dot(comp, pk.reshape(S, -1),
-                       preferred_element_type=jnp.float32)
+        # relation-major 3-D compose with a custom vjp: keeps the
+        # (R*rows, lanes) view a free bitcast and the dot exact f32 —
+        # train-step cost 42.2 -> 29.0 ms at bench scale
+        # (see rspmm.compose_packed / benchmarks/micro_compose_vjp.py)
+        flat = rspmm.compose_packed(comp, pk)
     else:
         flat = pk
     return rl.featureless_aggregate(flat.reshape(-1, lw), plan, out_dim)
+
+
+def _shard_specs(n: int):
+    from jax.sharding import PartitionSpec as P
+    return tuple(P() for _ in range(n)) + (P("data"),), P()
+
+
+def _identity_planned_sharded(packed, comp, plan, out_dim, mesh):
+    """Featureless planned layer under a device mesh: every chip runs the
+    single-chip engine on its shard of the edge streams (keeping the
+    Pallas fast path alive under GSPMD — round-2 dropped to the slow XLA
+    paths here) and the partial aggregates psum over ICI."""
+    from mrgcn_tpu.ops import relational as rl
+
+    def local(pk, c, pl):
+        out = _identity_planned(pk, c, rl.unstack_plan(pl), out_dim)
+        return jax.lax.psum(out, "data")
+
+    # check_vma=False: the engine's custom_vjp kernels block variance
+    # inference through the transpose; grads are pinned numerically to the
+    # single-device engine in tests/test_sharded_plans.py
+    in_specs, out_spec = _shard_specs(2)
+    return jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_spec,
+                         check_vma=False)(packed, comp, plan)
+
+
+def _dense_planned_sharded(H, W, plan, in_dim, out_dim, mesh):
+    from mrgcn_tpu.ops import relational as rl
+
+    def local(h, w, pl):
+        out = rl.dense_aggregate(h, w, rl.unstack_plan(pl), in_dim,
+                                 out_dim)
+        return jax.lax.psum(out, "data")
+
+    in_specs, out_spec = _shard_specs(2)
+    return jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_spec, check_vma=False)(H, W, plan)
 
 
 class RGCNLayer(nn.Module):
@@ -173,7 +214,11 @@ class RGCNLayer(nn.Module):
                 tinit.packed_xavier_uniform(fan_shape, self.num_nodes,
                                             self.out_dim, k),
                 shape)
-            if plan_i is not None:
+            if plan_i is not None and plan_i.num_shards > 1 \
+                    and edges.mesh is not None:
+                out = _identity_planned_sharded(weight_i, comp_i, plan_i,
+                                                self.out_dim, edges.mesh)
+            elif plan_i is not None:
                 out = _identity_planned(weight_i, comp_i, plan_i,
                                         self.out_dim)
             elif k > 1:
@@ -209,8 +254,12 @@ class RGCNLayer(nn.Module):
         if plan_f is not None:
             from mrgcn_tpu.ops import relational as rl
             W = rspmm._compose_weights(weight_f, comp_f)
-            agg = rl.dense_aggregate(H, W, plan_f, H.shape[-1],
-                                     self.out_dim)
+            if plan_f.num_shards > 1 and edges.mesh is not None:
+                agg = _dense_planned_sharded(H, W, plan_f, H.shape[-1],
+                                             self.out_dim, edges.mesh)
+            else:
+                agg = rl.dense_aggregate(H, W, plan_f, H.shape[-1],
+                                         self.out_dim)
         if agg is None and edges.grouped:
             agg = rspmm.transform_aggregate_grouped(
                 H, edges.grp_src, edges.grp_dst, edges.grp_norm,
@@ -240,6 +289,9 @@ class RGCN(nn.Module):
     featureless: bool = False
     use_bias: bool = False
     link_prediction: bool = False
+    # input layer reuses comp_i for the feature weights when set
+    # (reference: layers/graph.py:42-44, default False)
+    shared_bases_weights: bool = False
 
     def setup(self):
         layers = []
@@ -252,6 +304,7 @@ class RGCN(nn.Module):
                 input_layer=(i == 0),
                 featureless=self.featureless and i == 0,
                 use_bias=self.use_bias,
+                shared_bases_weights=self.shared_bases_weights,
                 name=f"layer_{i}"))
         self.layers = layers
 

@@ -67,6 +67,20 @@ def _super_blocks(edge_block: int, L: int) -> int:
     return max(4, min(64, _OUT_BYTES_TARGET // per_sub))
 
 
+def _super_blocks_for(edge_block: int, L: int, num_blocks: int) -> int:
+    """Largest divisor of ``num_blocks`` not above the bytes-target factor.
+
+    ``_super_blocks`` can return non-power-of-2 values (e.g. L=384 gives
+    10) that need not divide a slab count padded to 64 — rounding down to
+    a divisor keeps the kernel correct for any stream while staying near
+    the VMEM bytes target."""
+    target = _super_blocks(edge_block, L)
+    sb = min(target, num_blocks)
+    while sb > 1 and num_blocks % sb:
+        sb -= 1
+    return sb
+
+
 def _ring_depth(row_block: int, L: int, itemsize: int) -> int:
     per_slab = row_block * L * itemsize
     return max(2, min(N_BUF, _SLAB_BYTES_TARGET // per_slab))
@@ -477,9 +491,7 @@ def fused_place_scatter(V: jnp.ndarray, place_mod: jnp.ndarray,
     ``local``: (nslab, EB); ``place_mod``/``norm``: (E_pad,).
     """
     num_blocks = local.shape[0]
-    super_blocks = _super_blocks(edge_block, L)
-    assert num_blocks % super_blocks == 0, \
-        "stream not padded to super-block multiple"
+    super_blocks = _super_blocks_for(edge_block, L, num_blocks)
     n_super = num_blocks // super_blocks
     sub_v = V.shape[1]
 

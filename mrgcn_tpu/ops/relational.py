@@ -29,6 +29,23 @@ The design follows directly:
 All per-edge index arrays are static graph structure, prepared once on the
 host (:func:`build_layer_plans`).
 
+**Layout hazard (the round-2 "parts sum to half the layer" gap):** a 2-D
+``dot(comp, packed.reshape(B, -1))`` compose interleaves the relation dim
+into 8-sublane tiles, so the ``(R*rows, 128)`` view the gather needs is a
+*physical re-tile* — XLA inserts a 793 MB strided copy plus a strided
+operand copy, ~10 ms at bench scale (benchmarks/micro_compose_2d.py, HLO
+evidence in micro_compose_hlo.py). The 3-D tensordot of
+:func:`mrgcn_tpu.ops.rspmm.compose_packed` emits the table relation-major
+(the 2-D view is a free bitcast) and carries a custom vjp because XLA
+lowers the einsum autodiff's d_comp contraction catastrophically.
+Train-step cost 42.2 -> 29.0 ms (benchmarks/micro_compose_vjp.py).
+
+**Multi-chip:** :func:`shard_layer_plans` deals edges round-robin over the
+mesh's data axis and stacks per-shard streams on a leading axis; the
+shard_map wrappers in models/rgcn.py run this single-chip engine per
+device and psum the partial aggregates (tests/test_sharded_plans.py pins
+fwd+bwd to the single-device results).
+
 Reference computation being replaced: ``A @ [I F] W`` over the hstacked
 sparse adjacency (reference: mrgcn/layers/graph.py:62-102).
 """
@@ -149,6 +166,10 @@ class LayerPlans:
     n_in_rows: int = struct.field(pytree_node=False)
     n_out_rows: int = struct.field(pytree_node=False)
     num_nodes: int = struct.field(pytree_node=False)
+    # >1: every array leaf carries a leading shard axis (one slice per
+    # mesh data-axis device); see shard_layer_plans / the shard_map
+    # wrappers in models/rgcn.py
+    num_shards: int = struct.field(pytree_node=False, default=1)
 
 
 def _pad_rows(num_nodes: int, k: int, row_block: int) -> int:
@@ -156,10 +177,38 @@ def _pad_rows(num_nodes: int, k: int, row_block: int) -> int:
     return max(1, -(-rows // row_block)) * row_block
 
 
+def _rel_const_decisions(src, dst, rel, num_nodes: int, k_in: int,
+                         k_out: int, row_block: int,
+                         edge_block: int) -> dict:
+    """Whether the fwd / bwd_h streams should use the relation-constant
+    slab layout, judged from the padded sizes of the full edge set (so
+    per-shard builds all pick the same execution path)."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    rel = np.asarray(rel, dtype=np.int64)
+    out_blk = (src // k_out) // row_block
+    in_blk = (dst // k_in) // row_block
+    R_num = int(rel.max()) + 1 if len(rel) else 1
+
+    def padded_len(keys) -> int:
+        _, counts = np.unique(keys, return_counts=True)
+        return int((-(-counts // edge_block) * edge_block).sum())
+
+    def allow_rc(composite, plain) -> bool:
+        base = padded_len(plain)
+        return padded_len(composite) <= max(int(1.35 * base),
+                                            base + 8 * edge_block)
+
+    return {"fwd": allow_rc(out_blk * R_num + rel, out_blk),
+            "bwd_h": allow_rc(in_blk * R_num + rel, in_blk)}
+
+
 def build_layer_plans(src, dst, rel, norm, num_nodes: int, k_in: int,
                       k_out: int, row_block: int = ROW_BLOCK,
                       edge_block: int = EDGE_BLOCK,
-                      kind: str = "dense") -> LayerPlans:
+                      kind: str = "dense",
+                      rel_const_override: Optional[dict] = None
+                      ) -> LayerPlans:
     """Host-side: the three sorted edge streams for one layer shape.
 
     ``k_in`` = packing factor of the gathered table's logical row width,
@@ -223,14 +272,10 @@ def build_layer_plans(src, dst, rel, norm, num_nodes: int, k_in: int,
     # ~6x) the plain block-split layout is kept and the dense ops fall
     # back to the per-edge weight gather (``Stream.rel_const`` flags the
     # choice, made per stream from the actual padded sizes).
-    def padded_len(keys) -> int:
-        _, counts = np.unique(keys, return_counts=True)
-        return int((-(-counts // edge_block) * edge_block).sum())
-
-    def allow_rc(composite, plain) -> bool:
-        base = padded_len(plain)
-        return padded_len(composite) <= max(int(1.35 * base),
-                                            base + 8 * edge_block)
+    rc = rel_const_override
+    if rc is None:
+        rc = _rel_const_decisions(src, dst, rel, num_nodes, k_in, k_out,
+                                  row_block, edge_block)
 
     R_num = int(rel.max()) + 1 if len(rel) else 1
     out_blk = out_row // row_block
@@ -240,14 +285,14 @@ def build_layer_plans(src, dst, rel, norm, num_nodes: int, k_in: int,
         fwd = mk(src, flat_row, out_row)
         bwd_h = fwd        # unused by the featureless ops; alias, no copy
     else:
-        fwd_key = out_blk * R_num + rel
-        if allow_rc(fwd_key, out_blk):
+        if rc["fwd"]:
+            fwd_key = out_blk * R_num + rel
             fwd = mk(fwd_key, flat_row, out_row, split_key=fwd_key,
                      rel_const=True)
         else:
             fwd = mk(src, flat_row, out_row)
-        bwdh_key = in_blk * R_num + rel
-        if allow_rc(bwdh_key, in_blk):
+        if rc["bwd_h"]:
+            bwdh_key = in_blk * R_num + rel
             bwd_h = mk(bwdh_key, out_row, in_row, split_key=bwdh_key,
                        rel_const=True)
         else:
@@ -257,6 +302,101 @@ def build_layer_plans(src, dst, rel, norm, num_nodes: int, k_in: int,
                       n_in_rows=int(n_in_rows),
                       n_out_rows=int(n_out_rows),
                       num_nodes=int(num_nodes))
+
+
+def _pad_stream(s: Stream, E_pad: int, nslab: int) -> Stream:
+    """Pad a stream to a common static shape with inert fills (scatter
+    rows at ``row_block`` never land; ``norm == 0`` contributes nothing;
+    padding slabs repeat the last block id so monotonic flush order
+    holds)."""
+    import jax.numpy as jnp
+    d_slab = nslab - s.num_slabs
+    d_edge = E_pad - s.num_padded_edges
+    if d_slab == 0 and d_edge == 0:
+        return s
+
+    def pad1(x, n, fill):
+        if n == 0:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((n,) + x.shape[1:], fill, dtype=x.dtype)])
+
+    last_blk = s.scatter_blk[-1] if s.num_slabs else 0
+    return Stream(
+        scatter_local=pad1(s.scatter_local, d_slab, s.row_block),
+        scatter_blk=pad1(s.scatter_blk, d_slab, last_blk),
+        src_row=pad1(s.src_row, d_edge, 0),
+        out_mod=pad1(s.out_mod, d_edge, 0),
+        gather_row=pad1(s.gather_row, d_edge, 0),
+        in_mod=pad1(s.in_mod, d_edge, 0),
+        rel=pad1(s.rel, d_edge, 0),
+        norm=pad1(s.norm, d_edge, 0.0),
+        slab_rel=pad1(s.slab_rel, d_slab, 0),
+        edge_block=s.edge_block, row_block=s.row_block,
+        rel_const=s.rel_const)
+
+
+def shard_layer_plans(src, dst, rel, norm, num_nodes: int, k_in: int,
+                      k_out: int, num_shards: int,
+                      row_block: int = ROW_BLOCK,
+                      edge_block: int = EDGE_BLOCK,
+                      kind: str = "dense") -> LayerPlans:
+    """Per-device sorted streams for mesh training, stacked on a leading
+    shard axis.
+
+    Edges are dealt round-robin to ``num_shards`` shards (balanced
+    counts); each shard gets its own sorted/slab-padded streams, padded to
+    the max shard size so all shards share one static shape. Inside
+    ``shard_map`` each device runs the single-chip engine on its local
+    streams and the partial (num_nodes, out) aggregates ``psum`` over the
+    data axis (see models/rgcn.py). The relation-constant layout decision
+    is made once on the full edge set so every shard takes the same
+    execution path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    rel = np.asarray(rel, dtype=np.int64)
+    norm = np.asarray(norm, dtype=np.float32)
+    rc = _rel_const_decisions(src, dst, rel, num_nodes, k_in, k_out,
+                              row_block, edge_block)
+
+    assign = np.arange(len(src)) % num_shards
+    parts = []
+    for d in range(num_shards):
+        m = assign == d
+        parts.append(build_layer_plans(
+            src[m], dst[m], rel[m], norm[m], num_nodes, k_in, k_out,
+            row_block, edge_block, kind, rel_const_override=rc))
+
+    def stack(get):
+        streams = [get(p) for p in parts]
+        E_pad = max(s.num_padded_edges for s in streams)
+        nslab = max(s.num_slabs for s in streams)
+        padded = [_pad_stream(s, E_pad, nslab) for s in streams]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
+
+    fwd = stack(lambda p: p.fwd)
+    bwd_table = stack(lambda p: p.bwd_table)
+    bwd_h = fwd if kind == "identity" else stack(lambda p: p.bwd_h)
+    first = parts[0]
+    return LayerPlans(fwd=fwd, bwd_table=bwd_table, bwd_h=bwd_h,
+                      k_in=first.k_in, k_out=first.k_out,
+                      n_in_rows=first.n_in_rows,
+                      n_out_rows=first.n_out_rows,
+                      num_nodes=first.num_nodes,
+                      num_shards=num_shards)
+
+
+def unstack_plan(plan: LayerPlans) -> LayerPlans:
+    """Strip the leading shard axis from a sharded plan's array leaves —
+    used inside ``shard_map`` where each device holds one slice."""
+    import jax
+    import jax.numpy as jnp
+    stripped = jax.tree.map(lambda x: jnp.squeeze(x, 0), plan)
+    return stripped.replace(num_shards=1)
 
 
 def plans_for_layers(src, dst, rel, norm, num_nodes: int, layer_shapes,
@@ -313,7 +453,8 @@ def _select_sub(G: jnp.ndarray, mod: jnp.ndarray, k: int, d: int
         return G[:, :d]
     sub = G.shape[1] // k
     sel = jax.nn.one_hot(mod, k, dtype=G.dtype)
-    return jnp.einsum("ek,eks->es", sel, G.reshape(-1, k, sub)[:, :, :d])
+    return jnp.einsum("ek,eks->es", sel, G.reshape(-1, k, sub)[:, :, :d],
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _expand_sub(v: jnp.ndarray, mod: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -377,13 +518,18 @@ def _place_scatter(V, place_mod, stream: Stream, out_rows: int,
     stream). ``MRGCN_FUSED_PLACE=1`` (or interpret mode, for test
     coverage) routes through the single fused Pallas pass instead."""
     fused_on = os.environ.get("MRGCN_FUSED_PLACE") == "1" or interpret
-    if fused_on and (_use_pallas() or interpret) \
-            and stream.num_slabs % _super_blocks(
-                stream.edge_block, L) == 0:
-        return fused_place_scatter(
-            V, place_mod, stream.norm, stream.scatter_local,
-            stream.scatter_blk, out_rows, k, L, stream.row_block,
-            stream.edge_block, interpret)
+    if fused_on and (_use_pallas() or interpret):
+        from mrgcn_tpu.ops.pallas_gather import _super_blocks_for
+        sb = _super_blocks_for(stream.edge_block, L, stream.num_slabs)
+        if sb >= 4 or interpret:
+            return fused_place_scatter(
+                V, place_mod, stream.norm, stream.scatter_local,
+                stream.scatter_blk, out_rows, k, L, stream.row_block,
+                stream.edge_block, interpret)
+        logger.warning(
+            "MRGCN_FUSED_PLACE requested but the stream's %d slabs only "
+            "admit a super-block factor of %d (<4) for L=%d — using the "
+            "composed scatter path", stream.num_slabs, sb, L)
     msgs = _expand_sub(V[:, :d] * stream.norm[:, None], place_mod, k)
     if msgs.shape[1] < L:
         msgs = jnp.pad(msgs, ((0, 0), (0, L - msgs.shape[1])))
@@ -474,7 +620,8 @@ def dense_aggregate(H: jnp.ndarray, W: jnp.ndarray, plans: LayerPlans,
         # consumer chain fuses
         Wg = W.reshape(-1, in_dim * out_dim)[f.rel].reshape(
             -1, in_dim, out_dim)
-        v = jnp.einsum("ei,eio->eo", Hg, Wg) * f.norm[:, None]
+        v = jnp.einsum("ei,eio->eo", Hg, Wg,
+                       precision=jax.lax.Precision.HIGHEST) * f.norm[:, None]
         msgs = _expand_sub(v, f.out_mod, plans.k_out)
         out = sorted_scatter(msgs, f.scatter_local, f.scatter_blk,
                              plans.n_out_rows, f.row_block, f.edge_block,
@@ -508,7 +655,8 @@ def _dense_bwd(in_dim, out_dim, interpret, res, d_out):
                             out_dim) * h.norm[:, None]
         WgT = W.reshape(-1, in_dim * out_dim)[h.rel].reshape(
             -1, in_dim, out_dim)
-        d_Hg = jnp.einsum("eo,eio->ei", d_v_h, WgT)
+        d_Hg = jnp.einsum("eo,eio->ei", d_v_h, WgT,
+                          precision=jax.lax.Precision.HIGHEST)
         d_Hp = sorted_scatter(_expand_sub(d_Hg, h.in_mod, plans.k_in),
                               h.scatter_local, h.scatter_blk,
                               plans.n_in_rows, h.row_block, h.edge_block,

@@ -85,6 +85,7 @@ def _fused_basis_aggregate(flat: jnp.ndarray, src: jnp.ndarray,
         g = flat[dst_c].reshape(-1, B, out_dim)         # (C, B, out)
         w = (comp[rel_c] * norm_c[:, None]).astype(flat.dtype)  # (C, B)
         return jnp.einsum("eb,ebo->eo", w, g,
+                          precision=jax.lax.Precision.HIGHEST,
                           preferred_element_type=jnp.float32)   # (C, out)
 
     per_edge = _pad128(B * out_dim)
@@ -135,6 +136,7 @@ def transform_aggregate(H: jnp.ndarray, src: jnp.ndarray, dst: jnp.ndarray,
 
     if comp is None and _padded_elems(R * n_cols, out_dim) <= budget_elems:
         HW = jnp.einsum("ni,rio->rno", H, basis,
+                        precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)
         HW_flat = HW.reshape(R * n_cols, out_dim)
         flat_idx = rel.astype(jnp.int32) * n_cols + dst.astype(jnp.int32)
@@ -143,6 +145,7 @@ def transform_aggregate(H: jnp.ndarray, src: jnp.ndarray, dst: jnp.ndarray,
 
     # fused-basis path: flat = H @ basis laid out (n, B*out)
     flat = jnp.einsum("ni,bio->nbo", H, basis,
+                      precision=jax.lax.Precision.HIGHEST,
                       preferred_element_type=jnp.float32)
     flat = flat.reshape(n_cols, B * out_dim)
     comp_eff = jnp.eye(B, dtype=H.dtype) if comp is None else comp
@@ -165,7 +168,7 @@ def transform_aggregate_grouped(H: jnp.ndarray, grp_src: jnp.ndarray,
     gathered inputs ``(group_size, in)`` hit the MXU against the group's
     composed weight ``(in, out)`` as one batched matmul; total gather traffic
     is ``E * in`` bytes versus the fused path's ``E * B * out`` —
-    40x less on a DMG-scale layer (benchmarks/micro_grouped.py).
+    40x less on a DMG-scale layer (benchmarks/micro_r2_prims.py).
     """
     W = _compose_weights(basis, comp)          # (R, in, out) — always small
     G = group_rel.shape[0]
@@ -176,9 +179,47 @@ def transform_aggregate_grouped(H: jnp.ndarray, grp_src: jnp.ndarray,
     Wg = W[group_rel]                          # (G, in, out)
     m = jax.lax.dot_general(
         Hg, Wg, (((2,), (1,)), ((0,), (0,))),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)     # (G, group_size, out)
     messages = m.reshape(G * group_size, out_dim) * grp_norm[:, None]
     return segment_sum(messages, grp_src, num_nodes)
+
+
+@jax.custom_vjp
+def compose_packed(comp: jnp.ndarray, packed: jnp.ndarray) -> jnp.ndarray:
+    """Identity-table compose in the packed layout:
+    ``(R, B) x (B, rows, L) -> (R, rows, L)``.
+
+    The 3-D tensordot output is relation-major, so the downstream
+    ``(R * rows, L)`` view is a free bitcast. The 2-D formulation
+    ``dot(comp, packed.reshape(B, -1))`` interleaves R into 8-sublane
+    tiles: XLA then inserts a physical re-tile of the full table plus a
+    strided operand copy (~10 ms at bench scale on a v5e —
+    benchmarks/micro_compose_2d.py). The custom vjp exists because XLA
+    lowers the einsum autodiff's d_comp (a contraction over the huge
+    rows*lanes dims) catastrophically; the explicit dot_generals below
+    measure ~4 ms each (benchmarks/micro_compose_vjp.py).
+    """
+    return jnp.tensordot(comp, packed, axes=[[1], [0]],
+                         precision=jax.lax.Precision.HIGHEST)
+
+
+def _compose_packed_fwd(comp, packed):
+    return compose_packed(comp, packed), (comp, packed)
+
+
+def _compose_packed_bwd(res, d_t):
+    comp, packed = res
+    d_comp = jax.lax.dot_general(
+        d_t, packed, (((1, 2), (1, 2)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+    d_packed = jax.lax.dot_general(
+        comp, d_t, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+    return d_comp.astype(comp.dtype), d_packed.astype(packed.dtype)
+
+
+compose_packed.defvjp(_compose_packed_fwd, _compose_packed_bwd)
 
 
 def _compose_weights(basis: jnp.ndarray,
@@ -186,7 +227,8 @@ def _compose_weights(basis: jnp.ndarray,
     """``W[r] = sum_b comp[r,b] basis[b]`` (reference: graph.py:84-85)."""
     if comp is None:
         return basis
-    return jnp.einsum("rb,bio->rio", comp, basis)
+    return jnp.einsum("rb,bio->rio", comp, basis,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def packing_factor(out_dim: int) -> int:
@@ -235,13 +277,10 @@ def gather_aggregate_packed(packed: jnp.ndarray, src: jnp.ndarray,
     sub = 128 // k
 
     if comp is not None:
-        # compose in the packed layout — minor dim stays 128, no pad waste.
-        # 2-D matmul, NOT einsum("rs,sgl->rgl"): XLA lowers that einsum's
-        # backward (contraction over the huge (rows, lanes) dims)
-        # catastrophically on TPU; the reshaped dot and its transpose are
-        # plain MXU matmuls
-        flat = jnp.dot(comp, packed.reshape(S, -1),
-                       preferred_element_type=jnp.float32)
+        # compose in the packed layout — minor dim stays 128, no pad
+        # waste; see compose_packed for why this is a 3-D tensordot with
+        # a custom vjp rather than a 2-D dot or an einsum
+        flat = compose_packed(comp, packed)
         R = comp.shape[0]
     else:
         flat = packed
@@ -251,7 +290,8 @@ def gather_aggregate_packed(packed: jnp.ndarray, src: jnp.ndarray,
     packed_idx = rel.astype(jnp.int32) * n_rows + dst.astype(jnp.int32) // k
     g = flat[packed_idx].reshape(-1, k, sub)              # (E, k, sub)
     sel = jax.nn.one_hot(dst % k, k, dtype=g.dtype)       # (E, k)
-    messages = jnp.einsum("ek,eks->es", sel, g)[:, :out_dim]
+    messages = jnp.einsum("ek,eks->es", sel, g,
+                          precision=jax.lax.Precision.HIGHEST)[:, :out_dim]
     return segment_sum(messages * norm[:, None], src, num_nodes)
 
 
@@ -277,7 +317,8 @@ def gather_aggregate(node_weights: jnp.ndarray, src: jnp.ndarray,
 
     R = comp.shape[0]
     if _padded_elems(R * n_cols, out_dim) <= budget_elems:
-        W = jnp.einsum("rb,bno->rno", comp, node_weights)
+        W = jnp.einsum("rb,bno->rno", comp, node_weights,
+                       precision=jax.lax.Precision.HIGHEST)
         flat = W.reshape(R * n_cols, out_dim)
         flat_idx = rel.astype(jnp.int32) * n_cols + dst.astype(jnp.int32)
         messages = flat[flat_idx] * norm[:, None]

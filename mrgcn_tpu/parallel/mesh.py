@@ -90,14 +90,39 @@ def pad_edges_for_mesh(edges: EdgeBlock, data_size: int) -> EdgeBlock:
 
 def shard_inputs(mesh: Mesh, inputs):
     """Shard a :class:`mrgcn_tpu.tasks.common.RunInputs` for mesh training:
-    edge arrays and feature rows over ``data``. Gather plans are dropped —
-    the Pallas kernel path is single-device; under a mesh the XLA paths
-    shard via GSPMD."""
+    edge arrays and feature rows over ``data``. The sorted-stream gather
+    plans are rebuilt as per-shard stacked streams (relational.
+    shard_layer_plans) so the fast engine keeps running inside shard_map
+    on every chip, with a psum over the data axis combining the partial
+    aggregates."""
     from dataclasses import replace
     edges = pad_edges_for_mesh(inputs.edges, mesh.shape["data"])
-    edges = shard_edges(mesh, edges)
+    plans = shard_plans(mesh, inputs)
+    edges = shard_edges(mesh, edges, plans=plans)
     features = shard_features(mesh, inputs.features)
     return replace(inputs, edges=edges, features=features)
+
+
+def shard_plans(mesh: Mesh, inputs) -> Optional[Dict]:
+    """Rebuild the input's layer plans as per-device stacked streams,
+    placed with the leading shard axis on ``data``."""
+    import jax.numpy as jnp
+    from mrgcn_tpu.ops import relational as rl
+    old = inputs.edges.plans
+    st = getattr(inputs, "structure", None)
+    if not old or st is None:
+        return None
+    data_size = mesh.shape["data"]
+    spec = NamedSharding(mesh, P("data"))
+    out = {}
+    for key, pl in old.items():
+        kind = "identity" if key.endswith(":id") else "dense"
+        sharded = rl.shard_layer_plans(
+            st.src, st.dst, st.rel, st.norm, st.num_nodes,
+            pl.k_in, pl.k_out, data_size, kind=kind)
+        out[key] = jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), spec), sharded)
+    return out
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -122,7 +147,8 @@ def edge_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
-def shard_edges(mesh: Mesh, edges: EdgeBlock) -> EdgeBlock:
+def shard_edges(mesh: Mesh, edges: EdgeBlock,
+                plans: Optional[Dict] = None) -> EdgeBlock:
     """Place edge arrays sharded over the data axis. Edge counts must be
     divisible by the data-axis size (use
     :func:`mrgcn_tpu.encodings.structure.pad_edges`)."""
@@ -152,7 +178,8 @@ def shard_edges(mesh: Mesh, edges: EdgeBlock) -> EdgeBlock:
                      num_out=edges.num_out, num_in=edges.num_in,
                      dst_global=(None if edges.dst_global is None
                                  else put(edges.dst_global)),
-                     group_size=edges.group_size, **grp)
+                     group_size=edges.group_size,
+                     plans=plans, mesh=(mesh if plans else None), **grp)
 
 
 def shard_features(mesh: Mesh, features: Dict) -> Dict:

@@ -51,13 +51,10 @@ K = (1, 3, 10)
 
 
 def build_dataset(kg, nodes_map, config: Dict, featureless: bool):
-    """Feature construction over the merged graph
+    """Feature construction over the merged graph — see tasks/build.py
     (reference: link_prediction.py:424-438)."""
-    if featureless:
-        return {}
-    separate_literals = config["graph"]["structural"]["separate_literals"]
-    return construct_features(nodes_map, kg, config["graph"]["features"],
-                              separate_literals)
+    from mrgcn_tpu.tasks.build import build_dataset_lp
+    return build_dataset_lp(kg, nodes_map, config, featureless)
 
 
 def build_model(inputs: RunInputs, config: Dict) -> MRGCN:

@@ -40,38 +40,18 @@ logger = logging.getLogger(__name__)
 # dataset build (mkdataset stage; reference: node_classification.py:312-383)
 # ---------------------------------------------------------------------------
 
+# dataset construction lives in tasks/build.py (jax-free for the ETL CLI);
+# re-exported here under the reference's names
 def build_dataset(kg, nodes_map, target_triples: Dict, config: Dict,
                   featureless: bool):
-    """Returns ``(F, Y, sample_map, class_map)`` where ``Y[split]`` is an
-    ``(m, 2)`` int32 array of (node index, class index) rows."""
-    Y, sample_map, class_map = mk_target_matrices(target_triples, nodes_map)
-    if featureless:
-        F = {}
-    else:
-        separate_literals = config["graph"]["structural"]["separate_literals"]
-        F = construct_features(nodes_map, kg, config["graph"]["features"],
-                               separate_literals)
-    return F, Y, sample_map, class_map
+    from mrgcn_tpu.tasks.build import build_dataset_nc
+    return build_dataset_nc(kg, nodes_map, target_triples, config,
+                            featureless)
 
 
 def mk_target_matrices(target_triples: Dict, nodes_map: Dict):
-    """Class labels from target triples; classes sorted for run-to-run
-    stability (reference: node_classification.py:353-383)."""
-    classes = {str(o) for split in target_triples.values()
-               for _, _, o in split}
-    class_map = sorted(classes)
-    class_idx = {label: i for i, label in enumerate(class_map)}
-
-    Y: Dict[str, np.ndarray] = {}
-    sample_map: Dict[str, List[str]] = {}
-    for split, triples in target_triples.items():
-        ordered = sorted(triples, key=lambda t: (str(t[0]), str(t[1]),
-                                                 str(t[2])))
-        rows = [(nodes_map[s], class_idx[str(o)]) for s, _, o in ordered]
-        Y[split] = np.asarray(rows, dtype=np.int32).reshape(-1, 2)
-        sample_map[split] = [str(s) for s, _, _ in ordered]
-        logger.debug("Found %d instances (%s)", len(rows), split)
-    return Y, sample_map, class_map
+    from mrgcn_tpu.tasks.build import mk_target_matrices as _mk
+    return _mk(target_triples, nodes_map)
 
 
 # ---------------------------------------------------------------------------

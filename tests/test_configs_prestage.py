@@ -8,6 +8,10 @@ batching mode and optimizer group the real datasets will use — when the
 data lands, only the [graph] paths change (see PARITY.md).
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import copy
 import glob
 import os

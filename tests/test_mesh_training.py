@@ -7,6 +7,10 @@ sharded run reproduces the single-device metrics (same seeds, same data;
 only floating-point reduction order differs).
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 import copy
 
 import numpy as np

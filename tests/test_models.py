@@ -51,6 +51,31 @@ def test_rgcn_with_bases_param_shapes():
     assert p1["weight_f"].shape == (B, 8, 5)
 
 
+def test_rgcn_shared_bases_weights():
+    """shared_bases_weights=True reuses comp_i for the input layer's
+    feature weights instead of a separate comp_f
+    (reference: layers/graph.py:42-44)."""
+    rng = np.random.default_rng(7)
+    n, R, B = 10, 4, 2
+    edges = _edges(rng, n, R)
+    X = jnp.asarray(rng.standard_normal((n, 6)).astype(np.float32))
+
+    shared = RGCN(hidden_dims=(8, 5), num_relations=R, num_nodes=n,
+                  num_bases=B, shared_bases_weights=True)
+    p_shared = shared.init(jax.random.PRNGKey(0), X, edges)
+    l0 = p_shared["params"]["layer_0"]
+    assert "comp_i" in l0 and "comp_f" not in l0
+
+    separate = RGCN(hidden_dims=(8, 5), num_relations=R, num_nodes=n,
+                    num_bases=B)
+    p_sep = separate.init(jax.random.PRNGKey(0), X, edges)
+    assert "comp_f" in p_sep["params"]["layer_0"]
+
+    out = shared.apply(p_shared, X, edges)
+    assert out.shape == (n, 5)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
 def test_rgcn_link_prediction_relations():
     rng = np.random.default_rng(2)
     n, R = 8, 3

@@ -79,11 +79,15 @@ def test_nquads_graph_label_ignored(tmp_path):
         '_:b <http://a/p> "x"^^<http://a/t> _:g .',
         '<http://a/s> <http://a/p> <http://a/o2> .',   # plain triple too
     ]
-    out = list(parse_lines(lines))
+    out = list(parse_lines(lines, allow_quads=True))
     assert len(out) == 4
     assert out[0] == (IRI("http://a/s"), IRI("http://a/p"),
                       IRI("http://a/o"))
     assert out[1][2] == Literal("lit", "en")
+
+    # plain .nt parsing must reject graph labels (skips them fail-soft),
+    # matching the native C++ parser's triple count on the same file
+    assert len(list(parse_lines(lines))) == 1
 
     p = tmp_path / "g.nq"
     p.write_text("\n".join(lines) + "\n")

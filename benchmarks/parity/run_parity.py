@@ -98,6 +98,18 @@ def _mean(dicts):
             for k in keys}
 
 
+def _std(dicts):
+    import math
+    keys = dicts[0].keys()
+    out = {}
+    for k in keys:
+        vals = [d[k] for d in dicts]
+        mu = sum(vals) / len(vals)
+        out[k] = round(math.sqrt(sum((v - mu) ** 2 for v in vals)
+                                 / max(1, len(vals) - 1)), 4)
+    return out
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--task", choices=("nc", "lp", "all"), default="all")
@@ -105,13 +117,19 @@ def main() -> int:
                         help="LP runs are averaged over this many seeds — "
                         "the smoke split has 36 test facts, so a single "
                         "run's MRR varies by ~0.1 with the init draw")
+    parser.add_argument("--big", action="store_true",
+                        help="use the large decisive-parity datasets under "
+                        "benchmarks/parity/big/ (generate with gen_big.py); "
+                        "NC is seed-averaged too in this mode")
     args = parser.parse_args()
 
     tasks = ["nc", "lp"] if args.task == "all" else [args.task]
     results = {}
     for task in tasks:
-        config = os.path.join(HERE, f"{task}_config.toml")
-        seeds = range(1, args.seeds + 1) if task == "lp" else [1]
+        cfg_dir = os.path.join(HERE, "big") if args.big else HERE
+        config = os.path.join(cfg_dir, f"{task}_config.toml")
+        seeds = range(1, args.seeds + 1) \
+            if (task == "lp" or args.big) else [1]
         refs, ours_all = [], []
         for seed in seeds:
             with tempfile.TemporaryDirectory() as ref_dir, \
@@ -119,11 +137,17 @@ def main() -> int:
                 cfg = _with_seed(config, seed, our_dir)
                 refs.append(run_reference(cfg, ref_dir, task))
                 ours_all.append(run_ours(cfg, our_dir, task))
+                print(f"[{task} seed {seed}] ref={refs[-1]} "
+                      f"ours={ours_all[-1]}", flush=True)
         results[task] = {"reference": _mean(refs),
+                         "reference_std": _std(refs),
                          "mrgcn_tpu": _mean(ours_all),
+                         "mrgcn_tpu_std": _std(ours_all),
                          "runs": len(refs)}
-        print(f"[{task}] reference: {results[task]['reference']}")
-        print(f"[{task}] mrgcn_tpu: {results[task]['mrgcn_tpu']}")
+        print(f"[{task}] reference: {results[task]['reference']}"
+              f" +- {results[task]['reference_std']}")
+        print(f"[{task}] mrgcn_tpu: {results[task]['mrgcn_tpu']}"
+              f" +- {results[task]['mrgcn_tpu_std']}")
 
     print(json.dumps(results))
     return 0

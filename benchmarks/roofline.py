@@ -57,6 +57,33 @@ def _pallas_stream_bytes(plans_dict, n_streams_per_plan=3):
     return total
 
 
+def featureless_logical_bytes(n, R, B, hidden, E_pad, rows, opt="adam"):
+    """Itemized logical HBM traffic for one featureless train step (lower
+    bound — XLA's own 'bytes accessed' counts full gather operands per op
+    and lands ABOVE the hardware's possible traffic, so it cannot anchor
+    a roofline for gather-heavy programs).
+
+    Line width 128 lanes f32 = 512 B per packed row; the plan streams
+    gather/scatter one line per edge.
+    """
+    line = 128 * 4
+    table = R * rows * line          # composed identity table
+    packed = B * rows * line         # basis table (the parameter)
+    items = {
+        "compose_fwd": packed + table,                  # read pk, write T
+        "fwd_gather": E_pad * line,                     # table rows
+        "fwd_expand_scatter": 2 * E_pad * line,         # msgs write+read
+        "fwd_out_flush": rows * line,                   # output blocks
+        "bwd_table_gather_dout": E_pad * line,
+        "bwd_table_scatter": table,                     # d_table flush
+        "compose_bwd": 2 * table + 2 * packed,          # d_comp + d_packed
+        "layer2_fwd_bwd": 6 * E_pad * line,             # dense 16->14 streams
+        "optimizer": 7 * packed,                        # adam p,m,v rw + g
+    }
+    items["total"] = sum(items.values())
+    return items
+
+
 def analyze(name, step_fn, args, plans=None, extra=None):
     import jax
 
@@ -196,8 +223,26 @@ def lp_step():
 def main():
     import jax  # noqa: F401  (device check)
 
+    from benchmarks.torch_baseline import build_workload
+    w = build_workload()
     step, args, plans = featureless_step()
-    analyze("featureless_nc_epoch", step, args, plans=plans)
+    plan0 = next(iter(plans.values()))
+    E_pad = int(plan0.fwd.gather_row.shape[0])
+    hand = featureless_logical_bytes(w["n"], w["R"], w["num_bases"],
+                                     w["hidden"], E_pad, plan0.n_in_rows)
+    r = analyze("featureless_nc_epoch", step, args, plans=plans,
+                extra={"logical_bytes_model": hand["total"],
+                       "logical_hbm_bound_s":
+                           round(hand["total"] / HBM_BYTES_S, 6)})
+    print(json.dumps({
+        "featureless_traffic_items_gb":
+            {k: round(v / 1e9, 3) for k, v in hand.items()},
+        "achieved_gbps_on_logical":
+            round(hand["total"] / 1e9 / r["step_time_s"], 1),
+        "note": "logical model is a LOWER bound on true traffic; the "
+                "512 B row-granularity gathers are transaction-bound, "
+                "not streaming-bound (measured ~6-8 ns/row in "
+                "benchmarks/micro_gather.py)"}), flush=True)
 
     step, args, plans = lp_step()
     analyze("lp_fb15k237_epoch", step, args, plans=plans)

@@ -169,23 +169,28 @@ def sample_minibatch(index: EdgeIndex, batch_nodes: np.ndarray,
         # bucket the group count so batch shapes repeat
         G = bucket(grouping.num_groups, 4)
         gpad = G - grouping.num_groups
+        # numpy leaves: batches are built host-side in bulk and shipped
+        # with ONE batched jax.device_put per split (device_put_batches) —
+        # per-array puts cost a device round-trip each (~24 per batch;
+        # 313-batch DMG build measured 378 s over the axon tunnel vs ~4 s
+        # of host compute)
         layers.append(EdgeBlock(
-            src=jnp.asarray(src_local), dst=jnp.asarray(dst_local),
-            rel=jnp.asarray(rel), norm=jnp.asarray(norm),
+            src=src_local, dst=dst_local,
+            rel=np.ascontiguousarray(rel), norm=np.ascontiguousarray(norm),
             num_out=n_out, num_in=n_in,
-            dst_global=jnp.asarray(dst_global),
-            grp_src=jnp.asarray(np.concatenate(
+            dst_global=dst_global,
+            grp_src=np.concatenate(
                 [grouping.src,
                  np.full(gpad * grouping.group_size, n_out,
-                         dtype=np.int32)])),
-            grp_dst=jnp.asarray(np.concatenate(
+                         dtype=np.int32)]),
+            grp_dst=np.concatenate(
                 [grouping.dst,
-                 np.zeros(gpad * grouping.group_size, dtype=np.int32)])),
-            grp_norm=jnp.asarray(np.concatenate(
+                 np.zeros(gpad * grouping.group_size, dtype=np.int32)]),
+            grp_norm=np.concatenate(
                 [grouping.norm,
-                 np.zeros(gpad * grouping.group_size, dtype=np.float32)])),
-            group_rel=jnp.asarray(np.concatenate(
-                [grouping.group_rel, np.zeros(gpad, dtype=np.int32)])),
+                 np.zeros(gpad * grouping.group_size, dtype=np.float32)]),
+            group_rel=np.concatenate(
+                [grouping.group_rel, np.zeros(gpad, dtype=np.int32)]),
             group_size=grouping.group_size))
 
     return MiniBatch(layer_edges=tuple(layers),
@@ -227,8 +232,16 @@ def subset_features(features: Dict, outer_nodes: np.ndarray,
             # bucket) and are dropped by mode="drop"
             local = np.concatenate(
                 [local, np.full(pad, 2 ** 30, dtype=np.int32)])
-        out[name] = (jnp.asarray(rows), jnp.asarray(local))
+        out[name] = (rows, local)
     return out
+
+
+def device_put_batches(payloads):
+    """One batched ``jax.device_put`` for a list of host-built batch
+    pytrees — collapses the per-array transfer round-trips of a whole
+    split into a single call."""
+    import jax
+    return jax.device_put(payloads)
 
 
 def make_label_batches(label_rows: np.ndarray,

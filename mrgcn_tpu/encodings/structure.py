@@ -225,7 +225,13 @@ def group_by_relation(src: np.ndarray, dst: np.ndarray, rel: np.ndarray,
                       norm: np.ndarray, num_out: int,
                       group_size: int = 128) -> RelationGrouping:
     """Sort edges by relation; pad each relation's run to a multiple of
-    ``group_size``."""
+    ``group_size``.
+
+    128 is the measured full-batch optimum on a v5e at FB15k-237 scale
+    (16.8 ms vs 20.2 at 64 and 17.9 at 256 — benchmarks/micro_group_size.py);
+    the mini-batch sampler passes 64 instead because at hop scale the
+    matmul time is sub-millisecond either way and 64 halves the padding.
+    """
     order = np.argsort(rel, kind="stable")
     src, dst, rel, norm = src[order], dst[order], rel[order], norm[order]
 

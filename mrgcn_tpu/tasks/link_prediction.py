@@ -133,6 +133,12 @@ def make_lp_batches(inputs: RunInputs, data: np.ndarray,
                     corrupt_pool=np.arange(len(subset_nodes),
                                            dtype=np.int32),
                     num_valid=len(subset_nodes)))
+        from mrgcn_tpu.data.batching import device_put_batches
+        put = device_put_batches([(b.features, b.edges) for b in batches])
+        batches = [LPBatch(features=f, edges=e, data=b.data,
+                           corrupt_pool=b.corrupt_pool,
+                           num_valid=b.num_valid)
+                   for b, (f, e) in zip(batches, put)]
     else:
         num_samples = data.shape[0]
         for subset in np.array_split(np.arange(num_samples),
@@ -213,8 +219,17 @@ def evaluate(batches: List[LPBatch], embed_fn, params, batch_stats,
     hits = {"raw": [[] for _ in K], "flt": [[] for _ in K]}
     rankings = {"raw": [], "flt": []}
 
+    # triple subsets that share a graph slice (always true in full-batch
+    # mode, where every subset carries the same ``inputs.edges`` object)
+    # reuse one embedding pass — the reference recomputes per subset
+    # (reference: link_prediction.py:219-221, 375-422)
+    emb_cache: dict = {}
     for b in batches:
-        emb = embed_fn(params, batch_stats, b.features, b.edges)
+        key = id(b.edges)
+        emb = emb_cache.get(key)
+        if emb is None:
+            emb = embed_fn(params, batch_stats, b.features, b.edges)
+            emb_cache[key] = emb
         raw, flt = distmult.compute_ranks(
             b.data, emb, relations, chunk_size=mrr_batchsize,
             num_valid=b.num_valid)

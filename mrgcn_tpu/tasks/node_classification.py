@@ -138,7 +138,15 @@ def make_batches(inputs: RunInputs, label_rows: np.ndarray, batchsize: int,
         batches.append(NCBatch(features=feats, edges=mb.layer_edges,
                                idx=idx, targets=targets, weights=weights,
                                num_real=len(rows)))
-    return batches
+    # one batched transfer for the whole split (see
+    # batching.device_put_batches — per-array puts dominate build time on
+    # remote-attached devices)
+    put = batching.device_put_batches(
+        [(b.features, b.edges, b.idx, b.targets, b.weights)
+         for b in batches])
+    return [NCBatch(features=f, edges=e, idx=i, targets=t, weights=wt,
+                    num_real=b.num_real)
+            for b, (f, e, i, t, wt) in zip(batches, put)]
 
 
 def make_steps(model: MRGCN, optimizer, config: Dict):

@@ -7,6 +7,10 @@ from real layer plans so slab padding, place slots, and block ids carry
 the production invariants.
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow  # opt-in MRGCN_FUSED_PLACE path
+
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -158,8 +158,73 @@ def main():
     print(json.dumps({"minibatch_epoch_s": round(t_epoch, 3),
                       "per_batch_ms": round(1e3 * t_epoch / len(batches),
                                             3)}), flush=True)
+
+    # ---- scan-grouped epochs (the NC driver's default path): all
+    # same-shaped batches run as ONE dispatch via lax.scan ----------------
+    grouped: dict = {}
+    for bf, be, idx, tgt, wgt in batches:
+        payload = (bf, be, idx, tgt, wgt)
+        leaves, td = jax.tree.flatten(payload)
+        key = (td, tuple((leaf.shape, str(leaf.dtype)) for leaf in leaves))
+        grouped.setdefault(key, []).append(payload)
+    stacked_groups = [jax.tree.map(lambda *xs: jnp.stack(xs), *ps)
+                      for ps in grouped.values()]
+    print(json.dumps({"num_scan_groups": len(stacked_groups)}), flush=True)
+
+    @jax.jit
+    def group_step(params, stats, opt_state, stacked, rngs):
+        def body(carry, xs):
+            params, stats, opt_state = carry
+            (bf, be, idx, tgt, wgt), rng = xs
+
+            def loss_fn(p):
+                out, updates = model.apply(
+                    {"params": p, "batch_stats": stats}, bf, be,
+                    train=True, rngs={"dropout": rng},
+                    mutable=["batch_stats"])
+                logits = out[idx]
+                losses = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, tgt)
+                loss = (losses * wgt).sum() / jnp.maximum(wgt.sum(), 1.0)
+                return loss, updates.get("batch_stats", stats)
+
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), new_stats,
+                    opt_state), loss
+
+        (params, stats, opt_state), losses = jax.lax.scan(
+            body, (params, stats, opt_state), (stacked, rngs))
+        return params, stats, opt_state, losses
+
+    def scan_epoch(params, stats, opt_state, k):
+        loss = None
+        for gi, stacked in enumerate(stacked_groups):
+            count = jax.tree.leaves(stacked)[0].shape[0]
+            rngs = jax.random.split(
+                jax.random.fold_in(jax.random.PRNGKey(k), gi), count)
+            params, stats, opt_state, loss = group_step(
+                params, stats, opt_state, stacked, rngs)
+        jax.block_until_ready(loss)
+        return params, stats, opt_state
+
+    t0 = time.perf_counter()
+    params, stats, opt_state = scan_epoch(params, stats, opt_state, 0)
+    print(json.dumps({"scan_first_epoch_incl_compiles_s":
+                      round(time.perf_counter() - t0, 3)}), flush=True)
+    times = []
+    for k in range(1, args.epochs + 1):
+        t0 = time.perf_counter()
+        params, stats, opt_state = scan_epoch(params, stats, opt_state, k)
+        times.append(time.perf_counter() - t0)
+    t_scan = float(np.median(times))
+    print(json.dumps({"minibatch_scan_epoch_s": round(t_scan, 3)}),
+          flush=True)
+
     print("FINAL " + json.dumps({
         "minibatch_epoch_s": round(t_epoch, 3),
+        "minibatch_scan_epoch_s": round(t_scan, 3),
         "num_batches": len(batches),
         "batch_build_s": round(t_build, 3)}), flush=True)
 

@@ -78,9 +78,17 @@ class LPBatch:
 
     features: Dict
     edges: object            # EdgeBlock or tuple of per-layer EdgeBlocks
-    data: np.ndarray         # (m, 3) triple ids (batch-local in minibatch)
-    corrupt_pool: np.ndarray  # node ids to draw corruptions from
+    data: np.ndarray         # (M, 3) triple ids, bucket-padded (batch-local
+    #                          in minibatch mode); rows >= num_triples are
+    #                          zero padding with weight 0
+    corrupt_pool: np.ndarray  # node ids to draw corruptions from (padded)
     num_valid: int           # ranking candidate count (graph or batch local)
+    num_triples: int = 0     # real triple count (== len(data) if unpadded)
+    num_pool: int = 0        # real corrupt_pool length (rest is padding)
+
+    @property
+    def real_data(self) -> np.ndarray:
+        return self.data[:self.num_triples]
 
 
 def make_lp_batches(inputs: RunInputs, data: np.ndarray,
@@ -127,17 +135,22 @@ def make_lp_batches(inputs: RunInputs, data: np.ndarray,
                                                num_layers)
                 feats = batching.subset_features(inputs.features,
                                                  mb.outer_nodes)
+                data_pad, pool_pad = _pad_lp_arrays(
+                    data_subset.astype(np.int32),
+                    np.arange(len(subset_nodes), dtype=np.int32))
                 batches.append(LPBatch(
                     features=feats, edges=mb.layer_edges,
-                    data=data_subset.astype(np.int32),
-                    corrupt_pool=np.arange(len(subset_nodes),
-                                           dtype=np.int32),
-                    num_valid=len(subset_nodes)))
+                    data=data_pad, corrupt_pool=pool_pad,
+                    num_valid=len(subset_nodes),
+                    num_triples=len(data_subset),
+                    num_pool=len(subset_nodes)))
         from mrgcn_tpu.data.batching import device_put_batches
         put = device_put_batches([(b.features, b.edges) for b in batches])
         batches = [LPBatch(features=f, edges=e, data=b.data,
                            corrupt_pool=b.corrupt_pool,
-                           num_valid=b.num_valid)
+                           num_valid=b.num_valid,
+                           num_triples=b.num_triples,
+                           num_pool=b.num_pool)
                    for b, (f, e) in zip(batches, put)]
     else:
         num_samples = data.shape[0]
@@ -146,18 +159,41 @@ def make_lp_batches(inputs: RunInputs, data: np.ndarray,
             data_subset = np.copy(data[subset]).astype(np.int32)
             subset_nodes = np.union1d(data_subset[:, 0],
                                       data_subset[:, 2]).astype(np.int32)
+            data_pad, pool_pad = _pad_lp_arrays(data_subset, subset_nodes)
+            # ranking candidates are the whole graph here, but corruption
+            # draws only from the subset's own nodes (reference:
+            # lp.py:256-259)
             batches.append(LPBatch(
                 features=inputs.features, edges=inputs.edges,
-                data=data_subset, corrupt_pool=subset_nodes,
-                num_valid=inputs.num_nodes))
+                data=data_pad, corrupt_pool=pool_pad,
+                num_valid=inputs.num_nodes,
+                num_triples=len(data_subset),
+                num_pool=len(subset_nodes)))
     return batches
+
+
+def _pad_lp_arrays(data: np.ndarray, pool: np.ndarray):
+    """Bucket-pad triples and the corruption pool so batch shapes repeat
+    (power-of-two buckets -> few compiled programs, scan-groupable).
+    Padding triples are (0,0,0) rows masked by weight 0 in the loss;
+    padding pool entries are never drawn (draws index < num_pool)."""
+    from mrgcn_tpu.data.batching import bucket
+    M = bucket(len(data), 64)
+    P = bucket(len(pool), 64)
+    data_pad = np.zeros((M, 3), dtype=np.int32)
+    data_pad[:len(data)] = data
+    pool_pad = np.zeros(P, dtype=np.int32)
+    pool_pad[:len(pool)] = pool
+    return data_pad, pool_pad
 
 
 def sample_negatives(rng: np.random.Generator,
                      batch: LPBatch) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side within-batch corruption (reference: lp.py:246-268).
-    Returns (triples, labels): positives followed by corrupted copies."""
-    data = batch.data
+    Returns (triples, labels): positives followed by corrupted copies.
+    Kept as the oracle for the in-jit corruption in ``make_steps`` (same
+    semantics, jax PRNG) and for tests."""
+    data = batch.real_data
     num_samples = data.shape[0]
     ncorrupt = num_samples // 5
     if ncorrupt == 0:
@@ -165,10 +201,12 @@ def sample_negatives(rng: np.random.Generator,
 
     nc_head = ncorrupt // 2
     nc_tail = ncorrupt - nc_head
+    pool = batch.corrupt_pool[:batch.num_pool] if batch.num_pool \
+        else batch.corrupt_pool
     pick = rng.choice(num_samples, ncorrupt, replace=False)
     corrupted = np.copy(data[pick])
-    corrupted[:nc_head, 0] = rng.choice(batch.corrupt_pool, nc_head)
-    corrupted[nc_head:, 2] = rng.choice(batch.corrupt_pool, nc_tail)
+    corrupted[:nc_head, 0] = rng.choice(pool, nc_head)
+    corrupted[nc_head:, 2] = rng.choice(pool, nc_tail)
 
     triples = np.concatenate([data, corrupted], axis=0)
     labels = np.concatenate([np.ones(num_samples, dtype=np.float32),
@@ -180,10 +218,45 @@ def make_steps(model: MRGCN, optimizer, config: Dict):
     l1 = config["model"]["l1_lambda"]
     l2 = config["model"]["l2_lambda"]
 
-    # donate the mutable training state so XLA updates buffers in place
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_step(params, batch_stats, opt_state, features, edges,
-                   triples, labels, rng):
+    def _corrupt(data, num_triples, pool, num_pool, rng):
+        """In-jit within-batch corruption over bucket-padded arrays —
+        semantics of :func:`sample_negatives` (reference: lp.py:246-268):
+        20% of the REAL triples, distinct rows, half heads / half tails,
+        replacements drawn uniformly from the REAL pool entries. Padding
+        rows carry weight 0."""
+        M = data.shape[0]
+        ncp = M // 5                    # padded corruption slots (static)
+        nc_head = ncp // 2
+        k1, k2, k3 = jax.random.split(rng, 3)
+        # distinct real rows first: random key, padding pushed to the back
+        key = jax.random.uniform(k1, (M,)) \
+            + (jnp.arange(M) >= num_triples) * 10.0
+        pick = jnp.argsort(key)[:ncp]
+        corrupted = data[pick]
+        heads = pool[jax.random.randint(k2, (nc_head,), 0, num_pool)]
+        tails = pool[jax.random.randint(k3, (ncp - nc_head,), 0,
+                                        num_pool)]
+        corrupted = corrupted.at[:nc_head, 0].set(heads)
+        corrupted = corrupted.at[nc_head:, 2].set(tails)
+        triples = jnp.concatenate([data, corrupted], axis=0)
+
+        n_real = num_triples // 5
+        n_real_head = n_real // 2
+        w_pos = (jnp.arange(M) < num_triples)
+        w_head = jnp.arange(nc_head) < n_real_head
+        w_tail = jnp.arange(ncp - nc_head) < (n_real - n_real_head)
+        labels = jnp.concatenate([jnp.ones(M, jnp.float32),
+                                  jnp.zeros(ncp, jnp.float32)])
+        weights = jnp.concatenate([w_pos, w_head, w_tail]) \
+            .astype(jnp.float32)
+        return triples, labels, weights
+
+    def _update(params, batch_stats, opt_state, features, edges, data,
+                pool, num_triples, num_pool, rng):
+        rng, crng = jax.random.split(rng)
+        triples, labels, weights = _corrupt(data, num_triples, pool,
+                                            num_pool, crng)
+
         def loss_fn(p):
             out, updates = model.apply(
                 {"params": p, "batch_stats": batch_stats},
@@ -192,7 +265,9 @@ def make_steps(model: MRGCN, optimizer, config: Dict):
             relations = p["rgcn"]["relations"]
             y_hat = distmult.score(triples[:, 0], triples[:, 1],
                                    triples[:, 2], out, relations)
-            loss = optax.sigmoid_binary_cross_entropy(y_hat, labels).mean()
+            bce = optax.sigmoid_binary_cross_entropy(y_hat, labels)
+            loss = jnp.sum(bce * weights) / jnp.maximum(
+                jnp.sum(weights), 1.0)
             loss = loss + tutils.regularization(p, l1, l2)
             return loss, updates.get("batch_stats", batch_stats)
 
@@ -202,12 +277,55 @@ def make_steps(model: MRGCN, optimizer, config: Dict):
         params = optax.apply_updates(params, updates)
         return params, new_stats, opt_state, loss
 
+    # donate the mutable training state so XLA updates buffers in place
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(params, batch_stats, opt_state, features, edges, data,
+                   pool, num_triples, num_pool, rng):
+        return _update(params, batch_stats, opt_state, features, edges,
+                       data, pool, num_triples, num_pool, rng)
+
+    # scan-batched epochs: one dispatch per shape group (see the NC
+    # driver's group_batches for rationale)
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_group(params, batch_stats, opt_state, stacked, rngs):
+        def body(carry, xs):
+            params, batch_stats, opt_state = carry
+            (features, edges, data, pool, nt, npool), rng = xs
+            params, batch_stats, opt_state, loss = _update(
+                params, batch_stats, opt_state, features, edges, data,
+                pool, nt, npool, rng)
+            return (params, batch_stats, opt_state), loss
+
+        (params, batch_stats, opt_state), losses = jax.lax.scan(
+            body, (params, batch_stats, opt_state), (stacked, rngs))
+        return params, batch_stats, opt_state, losses
+
     @jax.jit
     def embed(params, batch_stats, features, edges):
         return model.apply({"params": params, "batch_stats": batch_stats},
                            features, edges, train=False)
 
-    return train_step, embed
+    return train_step, train_group, embed
+
+
+def group_lp_batches(batches: List[LPBatch]):
+    """Group LP batches by pytree structure + leaf shapes/dtypes and stack
+    on a scan axis (mirror of node_classification.group_batches)."""
+    groups: Dict = {}
+    order: List = []
+    for i, b in enumerate(batches):
+        payload = (b.features, b.edges, jnp.asarray(b.data),
+                   jnp.asarray(b.corrupt_pool),
+                   jnp.int32(b.num_triples), jnp.int32(b.num_pool))
+        leaves, treedef = jax.tree.flatten(payload)
+        key = (treedef, tuple((leaf.shape, str(leaf.dtype))
+                              for leaf in leaves))
+        if key not in groups:
+            groups[key] = []
+            order.append(key)
+        groups[key].append(payload)
+    return [jax.tree.map(lambda *xs: jnp.stack(xs), *groups[key])
+            for key in order]
 
 
 def evaluate(batches: List[LPBatch], embed_fn, params, batch_stats,
@@ -231,8 +349,8 @@ def evaluate(batches: List[LPBatch], embed_fn, params, batch_stats,
             emb = embed_fn(params, batch_stats, b.features, b.edges)
             emb_cache[key] = emb
         raw, flt = distmult.compute_ranks(
-            b.data, emb, relations, chunk_size=mrr_batchsize,
-            num_valid=b.num_valid)
+            b.real_data if b.num_triples else b.data, emb, relations,
+            chunk_size=mrr_batchsize, num_valid=b.num_valid)
         for rank_type, ranks in (("raw", raw), ("flt", flt)):
             if rank_type == "flt" and not filter_ranks:
                 mrr[rank_type].append(-1)
@@ -322,11 +440,20 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
         if data["valid"] is not None else []
 
     model = tutils.with_gate_skip(model, params)
-    train_step, embed_fn = make_steps(model, optimizer, config)
-    np_rng = np.random.default_rng(seed)
+    train_step, train_group, embed_fn = make_steps(model, optimizer,
+                                                    config)
 
-    logger.info("Training for %d epoch (%d batch(es))", nepoch,
-                len(train_batches))
+    # scan-batched epochs: one device dispatch per shape group; corruption
+    # runs in-jit (MRGCN_SCAN_BATCHES=0 restores per-batch dispatch)
+    import os as _os
+    use_scan = (_os.environ.get("MRGCN_SCAN_BATCHES", "1") != "0"
+                and len(train_batches) > 1)
+    train_groups = group_lp_batches(train_batches) if use_scan else None
+
+    logger.info("Training for %d epoch (%d batch(es)%s)", nepoch,
+                len(train_batches),
+                f", {len(train_groups)} scan group(s)"
+                if train_groups else "")
     t0 = time()
     loss = 0.0
     final_epoch = epoch
@@ -340,13 +467,23 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
         final_epoch = ep
 
         losses = []
-        for b in train_batches:
-            triples, labels = sample_negatives(np_rng, b)
-            jrng, step_rng = jax.random.split(jrng)
-            params, batch_stats, opt_state, batch_loss = train_step(
-                params, batch_stats, opt_state, b.features, b.edges,
-                jnp.asarray(triples), jnp.asarray(labels), step_rng)
-            losses.append(float(batch_loss))
+        if train_groups is not None:
+            for stacked in train_groups:
+                count = jax.tree.leaves(stacked)[0].shape[0]
+                jrng, key = jax.random.split(jrng)
+                rngs = jax.random.split(key, count)
+                params, batch_stats, opt_state, ls = train_group(
+                    params, batch_stats, opt_state, stacked, rngs)
+                losses.extend(np.asarray(ls).tolist())
+        else:
+            for b in train_batches:
+                jrng, step_rng = jax.random.split(jrng)
+                params, batch_stats, opt_state, batch_loss = train_step(
+                    params, batch_stats, opt_state, b.features, b.edges,
+                    jnp.asarray(b.data), jnp.asarray(b.corrupt_pool),
+                    jnp.int32(b.num_triples), jnp.int32(b.num_pool),
+                    step_rng)
+                losses.append(float(batch_loss))
         loss = float(np.mean(losses))
         results_str = f"{ep:04d} | loss {loss:.4f}"
 

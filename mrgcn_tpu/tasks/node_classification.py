@@ -153,11 +153,8 @@ def make_steps(model: MRGCN, optimizer, config: Dict):
     l1 = config["model"]["l1_lambda"]
     l2 = config["model"]["l2_lambda"]
 
-    # donate params / batch_stats / opt_state: they are consumed and
-    # rebound every step, letting XLA update them in place
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_step(params, batch_stats, opt_state, features, edges, idx,
-                   targets, weights, rng):
+    def _update(params, batch_stats, opt_state, features, edges, idx,
+                targets, weights, rng):
         def loss_fn(p):
             out, updates = model.apply(
                 {"params": p, "batch_stats": batch_stats},
@@ -173,6 +170,33 @@ def make_steps(model: MRGCN, optimizer, config: Dict):
         params = optax.apply_updates(params, updates)
         return params, new_stats, opt_state, loss, acc
 
+    # donate params / batch_stats / opt_state: they are consumed and
+    # rebound every step, letting XLA update them in place
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(params, batch_stats, opt_state, features, edges, idx,
+                   targets, weights, rng):
+        return _update(params, batch_stats, opt_state, features, edges,
+                       idx, targets, weights, rng)
+
+    # scan-batched mini-batch training: all same-shaped batches of an
+    # epoch run as ONE device dispatch (lax.scan over the stacked batch
+    # axis) instead of one dispatch per batch — per-batch dispatch
+    # dominates small mini-batch steps (16.9 ms/batch at DMG scale,
+    # benchmarks/minibatch_bench.py)
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_group(params, batch_stats, opt_state, stacked, rngs):
+        def body(carry, xs):
+            params, batch_stats, opt_state = carry
+            (features, edges, idx, targets, weights), rng = xs
+            params, batch_stats, opt_state, loss, acc = _update(
+                params, batch_stats, opt_state, features, edges, idx,
+                targets, weights, rng)
+            return (params, batch_stats, opt_state), (loss, acc)
+
+        (params, batch_stats, opt_state), (losses, accs) = jax.lax.scan(
+            body, (params, batch_stats, opt_state), (stacked, rngs))
+        return params, batch_stats, opt_state, losses, accs
+
     @jax.jit
     def eval_step(params, batch_stats, features, edges, idx, targets,
                   weights):
@@ -180,7 +204,46 @@ def make_steps(model: MRGCN, optimizer, config: Dict):
                           features, edges, train=False)
         return _loss_and_metrics(out, idx, targets, weights)
 
-    return train_step, eval_step
+    @jax.jit
+    def eval_group(params, batch_stats, stacked):
+        def body(_, xs):
+            features, edges, idx, targets, weights = xs
+            return None, _loss_and_metrics(
+                model.apply({"params": params,
+                             "batch_stats": batch_stats},
+                            features, edges, train=False),
+                idx, targets, weights)
+
+        _, out = jax.lax.scan(body, None, stacked)
+        return out
+
+    return train_step, eval_step, train_group, eval_group
+
+
+def group_batches(batches: List[NCBatch]):
+    """Group batches by identical pytree structure + leaf shapes/dtypes
+    (bucketed sampling keeps the distinct-shape count small) and stack
+    each group's leaves on a leading scan axis. Returns
+    ``[(orig_indices, stacked_payload)]``."""
+    groups: Dict = {}
+    order: List = []
+    for i, b in enumerate(batches):
+        payload = (b.features, b.edges, b.idx, b.targets, b.weights)
+        leaves, treedef = jax.tree.flatten(payload)
+        key = (treedef, tuple((leaf.shape, str(leaf.dtype))
+                              for leaf in leaves))
+        if key not in groups:
+            groups[key] = []
+            order.append(key)
+        groups[key].append((i, payload))
+    out = []
+    for key in order:
+        members = groups[key]
+        idxs = [i for i, _ in members]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                               *[p for _, p in members])
+        out.append((idxs, stacked))
+    return out
 
 
 def eval_batches(eval_step, params, batch_stats, batches: List[NCBatch]):
@@ -195,6 +258,28 @@ def eval_batches(eval_step, params, batch_stats, batches: List[NCBatch]):
         accs.append(float(acc))
         labels_all.append(np.asarray(labels)[:b.num_real])
         targets_all.append(np.asarray(targets)[:b.num_real])
+    return (float(np.mean(losses)), float(np.mean(accs)),
+            np.concatenate(labels_all), np.concatenate(targets_all))
+
+
+def eval_batches_grouped(eval_group, params, batch_stats,
+                         batches: List[NCBatch], groups):
+    """Scan-batched evaluation; outputs reassembled in original batch
+    order so prediction TSVs keep the reference's row ordering."""
+    n = len(batches)
+    losses = [0.0] * n
+    accs = [0.0] * n
+    labels_all: List = [None] * n
+    targets_all: List = [None] * n
+    for idxs, stacked in groups:
+        l, a, lab, tgt = eval_group(params, batch_stats, stacked)
+        l, a = np.asarray(l), np.asarray(a)
+        lab, tgt = np.asarray(lab), np.asarray(tgt)
+        for j, i in enumerate(idxs):
+            losses[i] = float(l[j])
+            accs[i] = float(a[j])
+            labels_all[i] = lab[j][:batches[i].num_real]
+            targets_all[i] = tgt[j][:batches[i].num_real]
     return (float(np.mean(losses)), float(np.mean(accs)),
             np.concatenate(labels_all), np.concatenate(targets_all))
 
@@ -252,7 +337,8 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
         print(f" - {epoch} epoch")
 
     model = tutils.with_gate_skip(model, params)
-    train_step, eval_step = make_steps(model, optimizer, config)
+    train_step, eval_step, train_group, eval_group = make_steps(
+        model, optimizer, config)
 
     nepoch = config["model"]["epoch"]
     batchsize = config["task"].get("batchsize", -1)
@@ -268,8 +354,20 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
     valid_batches = make_batches(inputs, Y_valid, batchsize, num_layers) \
         if Y_valid is not None else []
 
-    logger.info("Training for %d epoch (%d batch(es))", nepoch,
-                len(train_batches))
+    # scan-batched mini-batch epochs: one device dispatch per shape group
+    # instead of one per batch (MRGCN_SCAN_BATCHES=0 restores the
+    # reference's strictly sequential per-batch order)
+    import os as _os
+    use_scan = (_os.environ.get("MRGCN_SCAN_BATCHES", "1") != "0"
+                and len(train_batches) > 1)
+    train_groups = group_batches(train_batches) if use_scan else None
+    valid_groups = group_batches(valid_batches) \
+        if use_scan and len(valid_batches) > 1 else None
+
+    logger.info("Training for %d epoch (%d batch(es)%s)", nepoch,
+                len(train_batches),
+                f", {len(train_groups)} scan group(s)"
+                if train_groups else "")
     t0 = time()
     final_epoch = epoch
     for ep in range(epoch + 1, nepoch + epoch + 1):
@@ -282,20 +380,34 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
         final_epoch = ep
 
         losses, accs = [], []
-        for b in train_batches:
-            rng, step_rng = jax.random.split(rng)
-            params, batch_stats, opt_state, loss, acc = train_step(
-                params, batch_stats, opt_state, b.features, b.edges,
-                b.idx, b.targets, b.weights, step_rng)
-            losses.append(float(loss))
-            accs.append(float(acc))
+        if train_groups is not None:
+            for idxs, stacked in train_groups:
+                rng, key = jax.random.split(rng)
+                rngs = jax.random.split(key, len(idxs))
+                params, batch_stats, opt_state, l, a = train_group(
+                    params, batch_stats, opt_state, stacked, rngs)
+                losses.extend(np.asarray(l).tolist())
+                accs.extend(np.asarray(a).tolist())
+        else:
+            for b in train_batches:
+                rng, step_rng = jax.random.split(rng)
+                params, batch_stats, opt_state, loss, acc = train_step(
+                    params, batch_stats, opt_state, b.features, b.edges,
+                    b.idx, b.targets, b.weights, step_rng)
+                losses.append(float(loss))
+                accs.append(float(acc))
         train_loss, train_acc = float(np.mean(losses)), float(np.mean(accs))
 
         val_loss, val_acc = -1.0, -1.0
         if valid_batches:
-            val_loss, val_acc, _, _ = eval_batches(eval_step, params,
-                                                   batch_stats,
-                                                   valid_batches)
+            if valid_groups is not None:
+                val_loss, val_acc, _, _ = eval_batches_grouped(
+                    eval_group, params, batch_stats, valid_batches,
+                    valid_groups)
+            else:
+                val_loss, val_acc, _, _ = eval_batches(eval_step, params,
+                                                       batch_stats,
+                                                       valid_batches)
             logger.info("%04d | train loss %.4f / acc %.4f "
                         "| val loss %.4f / acc %.4f",
                         ep, train_loss, train_acc, val_loss, val_acc)

@@ -40,11 +40,11 @@ def test_lp_batching_covers_all_triples(lp_setup):
     # (reference: lp.py:508-513)
     seen = {}
     for b in batches:
-        assert b.data.max() < b.num_valid  # local remapping holds
+        assert b.real_data.max() < b.num_valid  # local remapping
         for row in np.asarray(b.data):
             # count per batch-slice membership is checked via totals below
             pass
-    total = sum(b.data.shape[0] for b in batches)
+    total = sum(b.num_triples for b in batches)
     assert data.shape[0] <= total <= 2 * data.shape[0]
 
 

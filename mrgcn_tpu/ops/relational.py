@@ -52,6 +52,7 @@ sparse adjacency (reference: mrgcn/layers/graph.py:62-102).
 
 from __future__ import annotations
 
+import logging
 import os
 from functools import partial
 
@@ -64,6 +65,8 @@ from mrgcn_tpu.ops.pallas_gather import (EDGE_BLOCK, ROW_BLOCK,
                                          _super_blocks, _use_pallas,
                                          fused_place_scatter,
                                          sorted_gather, sorted_scatter)
+
+logger = logging.getLogger(__name__)
 
 
 # --------------------------------------------------------------------------

@@ -340,17 +340,23 @@ def evaluate(batches: List[LPBatch], embed_fn, params, batch_stats,
     # triple subsets that share a graph slice (always true in full-batch
     # mode, where every subset carries the same ``inputs.edges`` object)
     # reuse one embedding pass — the reference recomputes per subset
-    # (reference: link_prediction.py:219-221, 375-422)
+    # (reference: link_prediction.py:219-221, 375-422). All subsets'
+    # ranking chunks are DISPATCHED first (async), then materialised with
+    # one batched device->host fetch — per-subset blocking round trips
+    # dominate the eval epoch otherwise (benchmarks/lp_eval_bench.py).
     emb_cache: dict = {}
+    pendings = []
     for b in batches:
         key = id(b.edges)
         emb = emb_cache.get(key)
         if emb is None:
             emb = embed_fn(params, batch_stats, b.features, b.edges)
             emb_cache[key] = emb
-        raw, flt = distmult.compute_ranks(
+        pendings.append(distmult.launch_ranks(
             b.real_data if b.num_triples else b.data, emb, relations,
-            chunk_size=mrr_batchsize, num_valid=b.num_valid)
+            chunk_size=mrr_batchsize, num_valid=b.num_valid))
+
+    for raw, flt in distmult.collect_many(pendings):
         for rank_type, ranks in (("raw", raw), ("flt", flt)):
             if rank_type == "flt" and not filter_ranks:
                 mrr[rank_type].append(-1)

@@ -153,20 +153,23 @@ def parse_file_native(path: str) -> Optional[List[Triple]]:
     finally:
         lib.nt_free(handle)
 
-    texts = [pool[offsets[i]:offsets[i + 1]].decode("utf-8")
+    # plain-int lists: iterating numpy arrays yields numpy scalars, which
+    # cost ~4x a list int in the construction loops below
+    off = offsets.tolist()
+    texts = [pool[off[i]:off[i + 1]].decode("utf-8")
              for i in range(n_terms)]
 
     terms: List = [None] * n_terms
-    for i in range(n_terms):
-        kind = kinds[i]
+    for i, (kind, lang_id, dtype_id) in enumerate(
+            zip(kinds.tolist(), lang_ids.tolist(), dtype_ids.tolist())):
         if kind == 0:
             terms[i] = IRI(texts[i])
         elif kind == 1:
             terms[i] = BNode(texts[i])
         elif kind == 2:
-            lang = texts[lang_ids[i]] if lang_ids[i] >= 0 else None
-            dtype = texts[dtype_ids[i]] if dtype_ids[i] >= 0 else None
+            lang = texts[lang_id] if lang_id >= 0 else None
+            dtype = texts[dtype_id] if dtype_id >= 0 else None
             terms[i] = Literal(texts[i], language=lang, datatype=dtype)
         # kind 3: aux strings (language tags) — not terms
 
-    return [(terms[s], terms[p], terms[o]) for s, p, o in tri]
+    return [(terms[s], terms[p], terms[o]) for s, p, o in tri.tolist()]

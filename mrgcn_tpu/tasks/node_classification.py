@@ -249,11 +249,11 @@ def group_batches(batches: List[NCBatch]):
 def eval_batches(eval_step, params, batch_stats, batches: List[NCBatch]):
     """Per-batch means averaged over batches
     (reference: node_classification.py:229-310)."""
+    pending = [eval_step(params, batch_stats, b.features, b.edges, b.idx,
+                         b.targets, b.weights) for b in batches]
     losses, accs, labels_all, targets_all = [], [], [], []
-    for b in batches:
-        loss, acc, labels, targets = eval_step(params, batch_stats,
-                                               b.features, b.edges, b.idx,
-                                               b.targets, b.weights)
+    for b, (loss, acc, labels, targets) in zip(batches, pending):
+        # all steps are dispatched above before the first blocking fetch
         losses.append(float(loss))
         accs.append(float(acc))
         labels_all.append(np.asarray(labels)[:b.num_real])

@@ -140,7 +140,8 @@ class PendingRanks:
 def launch_ranks(data: np.ndarray, node_embeddings, edge_embeddings,
                  chunk_size: int = 0,
                  true_facts: Optional[np.ndarray] = None,
-                 num_valid: Optional[int] = None) -> PendingRanks:
+                 num_valid: Optional[int] = None,
+                 budget_elems: int = 2 ** 26) -> PendingRanks:
     """Dispatch all ranking chunks for ``data`` WITHOUT blocking on any
     device result — JAX queues the compiled programs and returns device
     futures. Use :func:`collect_ranks` (or :func:`collect_many`, which
@@ -161,9 +162,9 @@ def launch_ranks(data: np.ndarray, node_embeddings, edge_embeddings,
 
     # chunking exists purely to bound the (chunk, N) score matrix — results
     # are chunk-size independent — so grow the caller's hint (the reference's
-    # mrr_batchsize memory knob) until the score matrix fills a healthy
-    # budget; fewer, larger device calls amortise dispatch overhead
-    budget_elems = 2 ** 26  # 256 MiB of f32 scores
+    # mrr_batchsize memory knob) until the score matrix fills the
+    # ``budget_elems`` budget (default 256 MiB of f32 scores); fewer,
+    # larger device calls amortise dispatch overhead
     chunk_size = min(num_facts,
                      max(chunk_size, budget_elems // max(num_nodes, 1)))
 

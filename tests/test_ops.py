@@ -180,10 +180,30 @@ def test_ranks_chunked_equal_unchunked(lp_setup):
     data, E_nodes, E_edges = lp_setup
     raw1, flt1 = distmult.compute_ranks(data, jnp.asarray(E_nodes),
                                         jnp.asarray(E_edges))
-    raw2, flt2 = distmult.compute_ranks(data, jnp.asarray(E_nodes),
-                                        jnp.asarray(E_edges), chunk_size=7)
+    # budget_elems=1 defeats the chunk-growing budget so chunk_size=7
+    # genuinely splits the 20 facts into 3 chunks per direction
+    pending = distmult.launch_ranks(data, jnp.asarray(E_nodes),
+                                    jnp.asarray(E_edges), chunk_size=7,
+                                    budget_elems=1)
+    assert len(pending.chunks) == 6
+    raw2, flt2 = distmult.collect_many([pending])[0]
     np.testing.assert_array_equal(raw1, raw2)
     np.testing.assert_array_equal(flt1, flt2)
+
+
+def test_collect_many_matches_sequential(lp_setup):
+    """Batched async collection returns exactly what per-subset blocking
+    compute_ranks does, across subsets of different sizes and chunkings."""
+    data, E_nodes, E_edges = lp_setup
+    En, Ee = jnp.asarray(E_nodes), jnp.asarray(E_edges)
+    subsets = [data[:5], data[5:8], data[8:]]
+    pendings = [distmult.launch_ranks(s, En, Ee, chunk_size=4,
+                                      budget_elems=1) for s in subsets]
+    batched = distmult.collect_many(pendings)
+    for s, (raw_b, flt_b) in zip(subsets, batched):
+        raw_s, flt_s = distmult.compute_ranks(s, En, Ee)
+        np.testing.assert_array_equal(raw_b, raw_s)
+        np.testing.assert_array_equal(flt_b, flt_s)
 
 
 def test_tie_handling_exact():

@@ -162,6 +162,12 @@ class TextEncoder(nn.Module):
     # (N, L, d)-scale HBM traffic that dominates this encoder on TPU
     # (params and LayerNorm statistics stay f32; the head returns f32)
     dtype: jnp.dtype = jnp.bfloat16
+    # key-side-only padding mask, broadcast (N, 1, 1, L): padded KEYS are
+    # excluded from every softmax, which is all that valid outputs (and
+    # the pooled CLS position) can observe — identical results to the full
+    # (N, 1, L, L) query x key mask, without materialising an L x L mask
+    # per sequence (524 MB at the multimodal bench's N=8k, L=128)
+    key_only_mask: bool = True
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray, train: bool = False
@@ -175,7 +181,8 @@ class TextEncoder(nn.Module):
                          (self.max_len, self.model_dim))
         x = x + pos[:tokens.shape[1]][None, :, :].astype(self.dtype)
 
-        attn_mask = nn.make_attention_mask(mask, mask)
+        attn_mask = mask[:, None, None, :] if self.key_only_mask \
+            else nn.make_attention_mask(mask, mask)
         for _ in range(self.num_layers):
             y = nn.LayerNorm(dtype=self.dtype)(x)
             y = nn.MultiHeadDotProductAttention(

@@ -250,3 +250,27 @@ def test_gate_zero_encoder_skip():
     # live gates: no-op
     params["gate_weights"] = jnp.asarray([0.1, 0.1])
     assert tutils.with_gate_skip(model, params) is model
+
+
+def test_text_encoder_key_only_mask_matches_full_mask():
+    """Key-side-only padding masks give the same pooled (CLS) output as the
+    full query x key mask: valid positions can only observe valid keys
+    either way. f32 body so the comparison is tight."""
+    from mrgcn_tpu.models.encoders import TextEncoder
+
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(0, 250, (5, 12)).astype(np.int32)
+    # ragged padding on the right
+    for i, keep in enumerate([12, 7, 3, 9, 1]):
+        tokens[i, keep:] = 256
+    tokens = jnp.asarray(tokens)
+
+    kw = dict(output_dim=4, model_dim=16, num_heads=2, num_layers=2,
+              max_len=12, dtype=jnp.float32)
+    enc_key = TextEncoder(key_only_mask=True, **kw)
+    enc_full = TextEncoder(key_only_mask=False, **kw)
+    variables = enc_key.init(jax.random.PRNGKey(0), tokens)
+    out_key = enc_key.apply(variables, tokens)
+    out_full = enc_full.apply(variables, tokens)
+    np.testing.assert_allclose(np.asarray(out_key), np.asarray(out_full),
+                               rtol=1e-5, atol=1e-5)

@@ -91,7 +91,7 @@ def main():
     report("step_full_ms", per_iter_time(full, params, opt_state, iters=10))
     report("fwd_loss_ms", per_iter_time(loss_fn, params, iters=10))
     report("fwd_bwd_ms", per_iter_time(
-        lambda p: jax.value_and_grad(loss_fn)(p)[0], params, iters=10))
+        lambda p: jax.value_and_grad(loss_fn)(p), params, iters=10))
 
     grads = jax.jit(jax.grad(loss_fn))(params)
 
@@ -122,7 +122,7 @@ def main():
     report("agg_fwd_bwd_ms", per_iter_time(
         lambda t: jax.value_and_grad(
             lambda q: jnp.sum(rl.featureless_aggregate(q, plan, hidden)))(
-                t)[0], table, iters=10))
+                t), table, iters=10))
 
     # the d_table place-scatter alone (bwd_table stream)
     b = plan.bwd_table
@@ -160,7 +160,7 @@ def main():
         report("layer2_fwd_bwd_ms", per_iter_time(
             lambda h: jax.value_and_grad(
                 lambda q: jnp.sum(rl.dense_aggregate(q, W2, plan2, hidden,
-                                                     C)))(h)[0],
+                                                     C)))(h),
             H, iters=10))
 
     print("FINAL " + json.dumps(results), flush=True)

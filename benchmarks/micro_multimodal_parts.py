@@ -86,12 +86,14 @@ def main():
 
     key = jax.random.PRNGKey(1)
     report("fwd_ms", per_iter_time(lambda p: loss_of(p, stats, key),
-                                   params, iters=5))
+                                   params, iters=10))
 
     def grad_step(p):
-        loss, _ = jax.value_and_grad(lambda q: loss_of(q, stats, key))(p)
-        return loss
-    report("fwd_bwd_ms", per_iter_time(grad_step, params, iters=5))
+        # return the grads too: a loss-only return lets XLA dead-code
+        # -eliminate the entire backward pass (the round-3 "57 ms
+        # fwd_bwd" was really forward-only)
+        return jax.value_and_grad(lambda q: loss_of(q, stats, key))(p)
+    report("fwd_bwd_ms", per_iter_time(grad_step, params, iters=10))
 
     # encoders only: loss on the fused feature matrix (no graph conv)
     def enc_loss(p):
@@ -102,7 +104,7 @@ def main():
         return jnp.sum(X * X) * 1e-6
 
     report("encoders_fwd_bwd_ms", per_iter_time(
-        lambda p: jax.value_and_grad(enc_loss)(p)[0], params, iters=5))
+        lambda p: jax.value_and_grad(enc_loss)(p), params, iters=10))
 
     # per-encoder forwards
     from mrgcn_tpu.models import encoders as enc_mod
@@ -111,17 +113,17 @@ def main():
     te = enc_mod.TextEncoder(output_dim=16)
     tv = te.init(jax.random.PRNGKey(2), text)
     report("text_fwd_ms", per_iter_time(
-        lambda v: te.apply(v, text), tv, iters=5))
+        lambda v: te.apply(v, text), tv, iters=10))
     report("text_fwd_bwd_ms", per_iter_time(
         lambda v: jax.value_and_grad(
-            lambda q: jnp.sum(te.apply(q, text)))(v)[0],
-        tv, iters=5))
+            lambda q: jnp.sum(te.apply(q, text)))(v),
+        tv, iters=10))
     ie = enc_mod.ImageCNN(output_dim=16)
     x_img = jnp.transpose(img.astype(jnp.float32) / 255.0, (0, 2, 3, 1))
     iv = ie.init(jax.random.PRNGKey(3), x_img)
     report("image_fwd_ms", per_iter_time(
         lambda v: ie.apply(v, x_img, mutable=["batch_stats"])[0],
-        iv, iters=5))
+        iv, iters=10))
 
     print("FINAL " + json.dumps(results), flush=True)
 

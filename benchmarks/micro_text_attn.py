@@ -42,16 +42,30 @@ def main():
         results[name] = round(seconds * 1e3, 3)
         print(json.dumps({name: results[name]}), flush=True)
 
-    for label, key_only in (("full_mask", False), ("key_only", True)):
-        enc = TextEncoder(output_dim=16, key_only_mask=key_only)
+    variants = (("full_mask", False, "xla"),
+                ("key_only", True, "xla"),
+                ("flash", True, "flash"))
+    outs = {}
+    for label, key_only, impl in variants:
+        enc = TextEncoder(output_dim=16, key_only_mask=key_only,
+                          attn_impl=impl)
         variables = enc.init(jax.random.PRNGKey(0), tokens)
 
+        outs[label] = np.asarray(jax.jit(enc.apply)(variables, tokens))
         report(f"{label}_fwd_ms", per_iter_time(
             lambda v: enc.apply(v, tokens), variables, iters=20))
         report(f"{label}_fwd_bwd_ms", per_iter_time(
             lambda v: jax.value_and_grad(
-                lambda q: jnp.sum(enc.apply(q, tokens)))(v)[0],
+                lambda q: jnp.sum(enc.apply(q, tokens)))(v),
             variables, iters=20))
+
+    # numerical agreement across mask schemes and kernels (bf16 body)
+    for label in ("key_only", "flash"):
+        err = float(np.max(np.abs(outs[label] - outs["full_mask"])))
+        scale = float(np.max(np.abs(outs["full_mask"])) + 1e-9)
+        print(json.dumps({f"{label}_max_abs_err": err,
+                          "rel": err / scale}), flush=True)
+        assert err / scale < 2e-2, (label, err, scale)
 
     print("FINAL " + json.dumps(results), flush=True)
 

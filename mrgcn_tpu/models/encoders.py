@@ -140,6 +140,46 @@ class TCNN(nn.Module):
                         bias_init=tinit.torch_linear_bias(cnn_out))(x)
 
 
+def _flash_attention_fn(query, key, value, bias=None, mask=None,
+                        **unused_kwargs):
+    """Drop-in ``attention_fn`` for flax MultiHeadDotProductAttention
+    backed by the Pallas TPU FlashAttention kernel.
+
+    ``query/key/value``: (N, L, h, dh) — flax layout; the kernel wants
+    (N, h, L, dh). The padding ``mask`` ((N, 1, 1, L) key-only, or the
+    full (N, 1, L, L) from which the key mask is its last row) becomes
+    flash segment ids: padded positions get segment 0, valid ones 1, so
+    valid queries attend exactly the valid keys (padded queries attend
+    padded keys — finite don't-care rows, same as the XLA path's
+    masked-to-finite-min softmax).
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention)
+
+    L, dh = query.shape[1], query.shape[3]
+    q = jnp.moveaxis(query, 1, 2)
+    k = jnp.moveaxis(key, 1, 2)
+    v = jnp.moveaxis(value, 1, 2)
+
+    segment_ids = None
+    if mask is not None:
+        # keys any query may attend — works for both the (N, 1, 1, L)
+        # key-only and the (N, 1, L, L) full mask layouts
+        key_valid = jnp.any(mask, axis=(1, 2)).astype(jnp.int32)  # (N, L)
+        segment_ids = SegmentIds(q=key_valid, kv=key_valid)
+
+    blk = min(128, L)
+    block_sizes = BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
+        block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk,
+        block_q_dq=blk)
+    out = flash_attention(q, k, v, segment_ids=segment_ids,
+                          sm_scale=1.0 / float(dh) ** 0.5,
+                          block_sizes=block_sizes)
+    return jnp.moveaxis(out, 1, 2).astype(query.dtype)
+
+
 class TextEncoder(nn.Module):
     """Trainable sequence encoder with CLS pooling and the reference's head
     structure (pre_fc -> ReLU -> dropout -> fc,
@@ -168,6 +208,23 @@ class TextEncoder(nn.Module):
     # (N, 1, L, L) query x key mask, without materialising an L x L mask
     # per sequence (524 MB at the multimodal bench's N=8k, L=128)
     key_only_mask: bool = True
+    # attention execution: "xla" (flax dot-product attention), "flash"
+    # (Pallas TPU FlashAttention — attention probabilities never touch
+    # HBM; padding via segment ids), or "auto" (flash on TPU). Both give
+    # the same math for valid positions; flash keeps f32 softmax
+    # statistics in-kernel.
+    attn_impl: str = "auto"
+
+    def _flash(self) -> bool:
+        if self.attn_impl == "flash":
+            return True
+        if self.attn_impl == "auto":
+            try:
+                import jax
+                return jax.default_backend() == "tpu"
+            except RuntimeError:  # pragma: no cover
+                return False
+        return False
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray, train: bool = False
@@ -181,13 +238,15 @@ class TextEncoder(nn.Module):
                          (self.max_len, self.model_dim))
         x = x + pos[:tokens.shape[1]][None, :, :].astype(self.dtype)
 
+        attention_fn = _flash_attention_fn if self._flash() \
+            else nn.dot_product_attention
         attn_mask = mask[:, None, None, :] if self.key_only_mask \
             else nn.make_attention_mask(mask, mask)
         for _ in range(self.num_layers):
             y = nn.LayerNorm(dtype=self.dtype)(x)
             y = nn.MultiHeadDotProductAttention(
                 num_heads=self.num_heads, qkv_features=self.model_dim,
-                dtype=self.dtype,
+                dtype=self.dtype, attention_fn=attention_fn,
                 deterministic=not train)(y, y, mask=attn_mask)
             x = x + y
             y = nn.LayerNorm(dtype=self.dtype)(x)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -210,15 +211,31 @@ class TextEncoder(nn.Module):
     key_only_mask: bool = True
     # attention execution: "xla" (flax dot-product attention), "flash"
     # (Pallas TPU FlashAttention — attention probabilities never touch
-    # HBM; padding via segment ids), or "auto" (flash on TPU). Both give
-    # the same math for valid positions; flash keeps f32 softmax
-    # statistics in-kernel.
+    # HBM; padding via segment ids), or "auto" (on TPU: flash only for
+    # long sequences). Both give the same math for valid positions; flash
+    # keeps f32 softmax statistics in-kernel.
+    #
+    # Measured (benchmarks/micro_text_attn.py, v5e, N=8k L=128 d=128 h=4):
+    # XLA fwd+bwd 117 ms vs flash 304 ms — at L<=flash_min_len the kernel
+    # grid degenerates to N*h single-q-block programs (32k at the bench
+    # shapes) and launch overhead swamps the saved L x L probability
+    # traffic. Flash earns its keep when L*L*h*N materialisation is the
+    # wall, i.e. long sequences.
     attn_impl: str = "auto"
+    flash_min_len: int = 256
+    # token embedding: "gather" (nn.Embed-style table lookup) or "one_hot"
+    # (embedding matmul). The gather backward is an N*L-row scatter-add
+    # into the vocab-sized table; measured (micro_text_attn.py) the two are
+    # within 8% at bench shapes (117 vs 109 ms), so the default stays
+    # gather, which never materialises (N, L, V).
+    embed_impl: str = "gather"
 
-    def _flash(self) -> bool:
+    def _flash(self, seq_len: int) -> bool:
         if self.attn_impl == "flash":
             return True
         if self.attn_impl == "auto":
+            if seq_len < self.flash_min_len:
+                return False
             try:
                 import jax
                 return jax.default_backend() == "tpu"
@@ -231,14 +248,23 @@ class TextEncoder(nn.Module):
                  ) -> jnp.ndarray:
         # tokens: (N, L) int32
         mask = (tokens != self.pad_id)
-        x = nn.Embed(self.vocab_size, self.model_dim,
-                     dtype=self.dtype)(tokens)
+        embedding = self.param(
+            "embedding",
+            nn.initializers.variance_scaling(1.0, "fan_in", "normal",
+                                             out_axis=0),
+            (self.vocab_size, self.model_dim))
+        if self.embed_impl == "one_hot":
+            one_hot = jax.nn.one_hot(tokens, self.vocab_size,
+                                     dtype=self.dtype)
+            x = one_hot @ embedding.astype(self.dtype)
+        else:
+            x = embedding.astype(self.dtype)[tokens]
         pos = self.param("pos_embedding",
                          nn.initializers.normal(stddev=0.02),
                          (self.max_len, self.model_dim))
         x = x + pos[:tokens.shape[1]][None, :, :].astype(self.dtype)
 
-        attention_fn = _flash_attention_fn if self._flash() \
+        attention_fn = _flash_attention_fn if self._flash(tokens.shape[1]) \
             else nn.dot_product_attention
         attn_mask = mask[:, None, None, :] if self.key_only_mask \
             else nn.make_attention_mask(mask, mask)

@@ -23,9 +23,11 @@ Measured (v5e, 2026-08-17, fwd / fwd+bwd ms at N=8k L=128):
   flash_gather              63.3 / 303.8
 Verdict: the FLASH KERNEL was the multimodal backward wall, not the
 embedding — at L=128 its grid is N*h single-q-block programs and launch
-overhead swamps the saved probability traffic. TextEncoder's "auto" now
-picks XLA below flash_min_len=256. The long-L sweep below checks flash
-does win once the L x L materialisation is the wall.
+overhead swamps the saved probability traffic. The long-L check found
+flash STILL loses at L=512 (640 ms vs 244 ms fwd+bwd at N=2k): with
+head dim 32 the kernel's MXU tiles are 4x-padded, so there is no
+crossover at this model scale. TextEncoder's "auto" therefore always
+picks XLA; flash is explicit opt-in.
 
 Run:  python benchmarks/micro_text_attn.py
 """

@@ -211,18 +211,17 @@ class TextEncoder(nn.Module):
     key_only_mask: bool = True
     # attention execution: "xla" (flax dot-product attention), "flash"
     # (Pallas TPU FlashAttention — attention probabilities never touch
-    # HBM; padding via segment ids), or "auto" (on TPU: flash only for
-    # long sequences). Both give the same math for valid positions; flash
-    # keeps f32 softmax statistics in-kernel.
+    # HBM; padding via segment ids), or "auto" (= xla). Both give the
+    # same math for valid positions; flash keeps f32 softmax statistics
+    # in-kernel.
     #
-    # Measured (benchmarks/micro_text_attn.py, v5e, N=8k L=128 d=128 h=4):
-    # XLA fwd+bwd 117 ms vs flash 304 ms — at L<=flash_min_len the kernel
-    # grid degenerates to N*h single-q-block programs (32k at the bench
-    # shapes) and launch overhead swamps the saved L x L probability
-    # traffic. Flash earns its keep when L*L*h*N materialisation is the
-    # wall, i.e. long sequences.
+    # Measured (benchmarks/micro_text_attn.py, v5e, fwd+bwd): at N=8k
+    # L=128, XLA 117 ms vs flash 304 ms; at N=2k L=512, XLA 244 ms vs
+    # flash 640 ms. With this encoder's head dim of 32 the kernel's MXU
+    # tiles are 4x-padded and its grid degenerates to N*h few-block
+    # programs, so flash loses at every measured length — it remains an
+    # explicit opt-in for long-sequence/wide-head configurations.
     attn_impl: str = "auto"
-    flash_min_len: int = 256
     # token embedding: "gather" (nn.Embed-style table lookup) or "one_hot"
     # (embedding matmul). The gather backward is an N*L-row scatter-add
     # into the vocab-sized table; measured (micro_text_attn.py) the two are
@@ -231,17 +230,7 @@ class TextEncoder(nn.Module):
     embed_impl: str = "gather"
 
     def _flash(self, seq_len: int) -> bool:
-        if self.attn_impl == "flash":
-            return True
-        if self.attn_impl == "auto":
-            if seq_len < self.flash_min_len:
-                return False
-            try:
-                import jax
-                return jax.default_backend() == "tpu"
-            except RuntimeError:  # pragma: no cover
-                return False
-        return False
+        return self.attn_impl == "flash"
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray, train: bool = False

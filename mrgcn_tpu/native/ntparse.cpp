@@ -25,13 +25,16 @@
 namespace {
 
 struct Result {
-    std::string pool;                 // concatenated term texts
-    std::vector<uint64_t> offsets;    // n_terms + 1
+    std::string pool;                 // NUL-terminated term texts
+    std::vector<uint64_t> offsets;    // n_terms + 1 (offsets[i+1]
+                                      // includes term i's trailing NUL)
     std::vector<uint8_t> kinds;       // n_terms
     std::vector<int64_t> lang_ids;    // n_terms (-1 if none)
     std::vector<int64_t> dtype_ids;   // n_terms (-1 if none)
     std::vector<uint32_t> triples;    // 3 * n_triples
     uint64_t skipped = 0;
+    uint64_t has_nul = 0;             // a term text contains '\0' itself
+                                      // (escaped u0000) — split unsafe
     std::string error;
 };
 
@@ -68,7 +71,9 @@ class Interner {
         auto it = map_.find(key);
         if (it != map_.end()) return it->second;
         int64_t id = (int64_t)result_->kinds.size();
+        if (key.text.find('\0') != std::string::npos) result_->has_nul = 1;
         result_->pool.append(key.text);
+        result_->pool.push_back('\0');
         result_->offsets.push_back(result_->pool.size());
         result_->kinds.push_back(kind);
         result_->lang_ids.push_back(lang);
@@ -284,6 +289,7 @@ uint64_t nt_num_terms(void* r) { return ((Result*)r)->kinds.size(); }
 uint64_t nt_num_triples(void* r) { return ((Result*)r)->triples.size() / 3; }
 uint64_t nt_pool_size(void* r) { return ((Result*)r)->pool.size(); }
 uint64_t nt_skipped(void* r) { return ((Result*)r)->skipped; }
+uint64_t nt_has_nul(void* r) { return ((Result*)r)->has_nul; }
 const char* nt_error(void* r) { return ((Result*)r)->error.c_str(); }
 
 const char* nt_pool(void* r) { return ((Result*)r)->pool.data(); }

@@ -100,7 +100,29 @@ def save(path: str, structure: GraphStructure, F: Dict[str, List],
 
     store["manifest"] = np.frombuffer(
         json.dumps(manifest).encode("utf-8"), dtype=np.uint8)
-    np.savez_compressed(path, **store)
+    _savez_fast(path, store)
+
+
+def _savez_fast(path: str, store: Dict[str, np.ndarray]) -> None:
+    """``np.savez_compressed``-format writer at deflate level 1.
+
+    numpy hard-codes zlib level 6, which dominates artifact-save time
+    (~0.5 s of a 3.5 s ETL at the etl_bench scale); level 1 compresses
+    ~3x faster for a few percent more bytes. ``np.load`` reads any
+    deflate level — the on-disk format is unchanged."""
+    import io
+    import zipfile
+
+    from numpy.lib import format as npformat
+
+    if not path.endswith(".npz"):
+        path += ".npz"  # np.savez_compressed appends it too
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED,
+                         compresslevel=1) as zf:
+        for key, val in store.items():
+            buf = io.BytesIO()
+            npformat.write_array(buf, np.asarray(val), allow_pickle=False)
+            zf.writestr(key + ".npy", buf.getvalue())
 
 
 class Artifact:

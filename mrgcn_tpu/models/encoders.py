@@ -302,6 +302,26 @@ class _SeparableBlock(nn.Module):
         return nn.relu(x)
 
 
+class _DenseBlock(nn.Module):
+    """Plain 3x3 conv + BN + relu. More FLOPs than a separable block, but
+    every op is an MXU matmul — on TPU the depthwise half of a separable
+    block runs off the MXU and its backward lowers to slow grouped
+    transposed convolutions (measured in benchmarks/micro_image.py)."""
+
+    features: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Conv(self.features, (3, 3),
+                    strides=(self.stride, self.stride), padding="SAME",
+                    use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
 class ImageCNN(nn.Module):
     """Compact depthwise-separable image CNN with global average pooling and
     the reference's head (reference: imagecnn.py:9-41). Input (N, H, W, C)
@@ -312,10 +332,15 @@ class ImageCNN(nn.Module):
     width: int = 32
     # bf16 conv compute (params f32; head in f32) — see TextEncoder.dtype
     dtype: jnp.dtype = jnp.bfloat16
+    # "sep" (depthwise separable, MobileNet-style) or "dense" (plain 3x3
+    # convs). See benchmarks/micro_image.py for the TPU trade-off.
+    block_impl: str = "sep"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         w = self.width
+        block = _DenseBlock if self.block_impl == "dense" else \
+            _SeparableBlock
         x = nn.Conv(w, (3, 3), strides=(2, 2), padding="SAME",
                     use_bias=False, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -324,7 +349,7 @@ class ImageCNN(nn.Module):
         for features, stride in ((w * 2, 2), (w * 2, 1), (w * 4, 2),
                                  (w * 4, 1), (w * 8, 2), (w * 8, 1),
                                  (w * 16, 2)):
-            x = _SeparableBlock(features, stride, dtype=self.dtype)(x, train)
+            x = block(features, stride, dtype=self.dtype)(x, train)
         x = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # global avg pool
         inter = x.shape[-1]
         x = nn.Dense(inter, kernel_init=tinit.torch_linear_kernel())(x)

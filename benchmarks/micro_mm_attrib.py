@@ -22,12 +22,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from benchmarks.bench_suite import multimodal_workload  # noqa: E402
 
 
-def main():
+def build_step(subset=None):
+    """The full multimodal value_and_grad step on the bench workload,
+    restricted to the modality ``subset`` (None = all). Returns
+    ``(step_fn, params)``."""
     import jax
     import jax.numpy as jnp
     import optax
 
-    from benchmarks.timing import per_iter_time
     from mrgcn_tpu.models.mrgcn import MRGCN, module_names
     from mrgcn_tpu.models.rgcn import EdgeBlock
     from mrgcn_tpu.ops import relational as rl
@@ -73,34 +75,40 @@ def main():
                              .astype(np.int32))
     labels_cls = jnp.asarray(rng.integers(0, C, 10_000).astype(np.int32))
 
+    key = jax.random.PRNGKey(1)
+    f = feats if subset is None else \
+        {k: v for k, v in feats.items() if k in subset}
+
+    def loss_of(p):
+        out, _ = model.apply({"params": p, "batch_stats": stats}, f,
+                             edges, train=True, rngs={"dropout": key},
+                             mutable=["batch_stats"])
+        return optax.softmax_cross_entropy_with_integer_labels(
+            out[labels_idx], labels_cls).mean()
+
+    return (lambda p: jax.value_and_grad(loss_of)(p)), params
+
+
+def main():
+    from benchmarks.timing import per_iter_time
+    from mrgcn_tpu.models.mrgcn import module_names
+
     results = {}
 
     def report(name, seconds):
         results[name] = round(seconds * 1e3, 3)
         print(json.dumps({name: results[name]}), flush=True)
 
-    key = jax.random.PRNGKey(1)
-
-    def grad_with(subset):
-        f = {k: v for k, v in feats.items() if k in subset}
-
-        def loss_of(p):
-            out, _ = model.apply({"params": p, "batch_stats": stats}, f,
-                                 edges, train=True, rngs={"dropout": key},
-                                 mutable=["batch_stats"])
-            return optax.softmax_cross_entropy_with_integer_labels(
-                out[labels_idx], labels_cls).mean()
-
-        return lambda p: jax.value_and_grad(loss_of)(p)
-
-    report("all_fwd_bwd_ms", per_iter_time(grad_with(set(names)), params,
-                                           iters=10))
-    report("no_text_fwd_bwd_ms", per_iter_time(
-        grad_with(set(names) - {names[2]}), params, iters=10))
-    report("no_image_fwd_bwd_ms", per_iter_time(
-        grad_with(set(names) - {names[3]}), params, iters=10))
-    report("graph_only_fwd_bwd_ms", per_iter_time(grad_with(set()), params,
-                                                  iters=10))
+    modules_config = (
+        ("xsd.numeric", ()), ("xsd.gYear", ()), ("xsd.string", ()),
+        ("blob.image", ()))
+    names = module_names(modules_config)
+    for label, subset in (("all", None),
+                          ("no_text", set(names) - {names[2]}),
+                          ("no_image", set(names) - {names[3]}),
+                          ("graph_only", set())):
+        step, params = build_step(subset)
+        report(f"{label}_fwd_bwd_ms", per_iter_time(step, params, iters=10))
 
     print("FINAL " + json.dumps(results), flush=True)
 

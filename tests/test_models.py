@@ -274,3 +274,50 @@ def test_text_encoder_key_only_mask_matches_full_mask():
     out_full = enc_full.apply(variables, tokens)
     np.testing.assert_allclose(np.asarray(out_key), np.asarray(out_full),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_text_encoder_one_hot_embed_matches_gather():
+    """embed_impl='one_hot' (embedding matmul) and 'gather' (table lookup)
+    are the same math; both directions must agree bitwise-closely in f32."""
+    from mrgcn_tpu.models.encoders import TextEncoder
+
+    rng = np.random.default_rng(5)
+    tokens = rng.integers(0, 250, (4, 10)).astype(np.int32)
+    tokens[2, 6:] = 256
+    tokens = jnp.asarray(tokens)
+
+    kw = dict(output_dim=4, model_dim=16, num_heads=2, num_layers=1,
+              max_len=10, dtype=jnp.float32)
+    enc_g = TextEncoder(embed_impl="gather", **kw)
+    enc_o = TextEncoder(embed_impl="one_hot", **kw)
+    variables = enc_g.init(jax.random.PRNGKey(0), tokens)
+
+    out_g = enc_g.apply(variables, tokens)
+    out_o = enc_o.apply(variables, tokens)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_o),
+                               rtol=1e-5, atol=1e-5)
+
+    g_g = jax.grad(lambda v: jnp.sum(enc_g.apply(v, tokens)))(variables)
+    g_o = jax.grad(lambda v: jnp.sum(enc_o.apply(v, tokens)))(variables)
+    emb_g = np.asarray(g_g["params"]["embedding"])
+    emb_o = np.asarray(g_o["params"]["embedding"])
+    np.testing.assert_allclose(emb_g, emb_o, rtol=1e-4, atol=1e-5)
+
+
+def test_image_cnn_dense_blocks():
+    """block_impl='dense' trains: forward shape, finite grads, param tree
+    differs from the separable default (plain 3x3 convs, no depthwise)."""
+    from mrgcn_tpu.models.encoders import ImageCNN
+
+    rng = np.random.default_rng(6)
+    imgs = jnp.asarray(rng.random((3, 32, 32, 3)).astype(np.float32))
+
+    enc = ImageCNN(output_dim=5, block_impl="dense")
+    variables = enc.init(jax.random.PRNGKey(0), imgs)
+    out = enc.apply(variables, imgs)
+    assert out.shape == (3, 5)
+    assert np.isfinite(np.asarray(out)).all()
+
+    g = jax.grad(lambda v: jnp.sum(enc.apply(v, imgs)))(variables)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert leaves and all(np.isfinite(np.asarray(x)).all() for x in leaves)

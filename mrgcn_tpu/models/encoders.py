@@ -229,8 +229,6 @@ class TextEncoder(nn.Module):
     # gather, which never materialises (N, L, V).
     embed_impl: str = "gather"
 
-    def _flash(self, seq_len: int) -> bool:
-        return self.attn_impl == "flash"
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray, train: bool = False
@@ -253,7 +251,7 @@ class TextEncoder(nn.Module):
                          (self.max_len, self.model_dim))
         x = x + pos[:tokens.shape[1]][None, :, :].astype(self.dtype)
 
-        attention_fn = _flash_attention_fn if self._flash(tokens.shape[1]) \
+        attention_fn = _flash_attention_fn if self.attn_impl == "flash" \
             else nn.dot_product_attention
         attn_mask = mask[:, None, None, :] if self.key_only_mask \
             else nn.make_attention_mask(mask, mask)

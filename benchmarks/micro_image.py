@@ -58,6 +58,20 @@ def main():
                 lambda q: jnp.sum(enc.apply(q, imgs)))(v),
             variables, iters=20))
 
+        # train mode: BatchNorm batch statistics + their backward — the
+        # in-model regime (micro_mm_attrib runs train=True)
+        params, stats = variables["params"], variables["batch_stats"]
+        key = __import__("jax").random.PRNGKey(1)
+
+        def train_loss(p, enc=enc, stats=stats, key=key):
+            out, _ = enc.apply({"params": p, "batch_stats": stats}, imgs,
+                               train=True, rngs={"dropout": key},
+                               mutable=["batch_stats"])
+            return jnp.sum(out)
+
+        report(f"{label}_train_fwd_bwd_ms", per_iter_time(
+            lambda p: jax.value_and_grad(train_loss)(p), params, iters=20))
+
     print("FINAL " + json.dumps(results), flush=True)
 
 

@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from benchmarks.bench_suite import multimodal_workload  # noqa: E402
 
 
-def build_step(subset=None):
+def build_step(subset=None, train=True):
     """The full multimodal value_and_grad step on the bench workload,
     restricted to the modality ``subset`` (None = all). Returns
     ``(step_fn, params)``."""
@@ -81,7 +81,7 @@ def build_step(subset=None):
 
     def loss_of(p):
         out, _ = model.apply({"params": p, "batch_stats": stats}, f,
-                             edges, train=True, rngs={"dropout": key},
+                             edges, train=train, rngs={"dropout": key},
                              mutable=["batch_stats"])
         return optax.softmax_cross_entropy_with_integer_labels(
             out[labels_idx], labels_cls).mean()
@@ -103,11 +103,15 @@ def main():
         ("xsd.numeric", ()), ("xsd.gYear", ()), ("xsd.string", ()),
         ("blob.image", ()))
     names = module_names(modules_config)
-    for label, subset in (("all", None),
-                          ("no_text", set(names) - {names[2]}),
-                          ("no_image", set(names) - {names[3]}),
-                          ("graph_only", set())):
-        step, params = build_step(subset)
+    variants = [("all", None, True),
+                ("no_text", set(names) - {names[2]}, True),
+                ("no_image", set(names) - {names[3]}, True),
+                ("graph_only", set(), True)]
+    if "--eval" in sys.argv:
+        # train-mode-cost isolation: same subsets with train=False
+        variants = [(f"eval_{lbl}", s, False) for lbl, s, _ in variants]
+    for label, subset, train in variants:
+        step, params = build_step(subset, train=train)
         report(f"{label}_fwd_bwd_ms", per_iter_time(step, params, iters=10))
 
     print("FINAL " + json.dumps(results), flush=True)

@@ -541,6 +541,16 @@ def densify(X: List, pad_symbols: Optional[Dict[str, int]] = None,
             if len(encodings) == 0:
                 dense_sets.append([encodings, node_idx, seq_lengths])
                 continue
+            # one feature row per node per encoding set — the gather-only
+            # placement (ops/placement.place_rows) relies on it; duplicate
+            # assignment would be a silent data bug under torch semantics
+            # too (last-write-wins, nondeterministic)
+            idx_arr = np.asarray(node_idx)
+            valid = idx_arr[idx_arr >= 0]
+            if len(np.unique(valid)) != len(valid):
+                raise ValueError(
+                    f"{datatype}: duplicate node indices within one "
+                    "encoding set — merge features upstream")
             if encodings.dtype != np.dtype("O"):
                 dense_sets.append([encodings, node_idx,
                                    np.asarray(seq_lengths)])

@@ -20,6 +20,7 @@ from flax import linen as nn
 
 from mrgcn_tpu.models.encoders import MLP, TCNN, ImageCNN, TextEncoder
 from mrgcn_tpu.models.rgcn import RGCN, EdgeBlock
+from mrgcn_tpu.ops.placement import place_rows
 
 # datatypes handled per encoder family (reference: mrgcn.py:63-124)
 _MLP1 = ("xsd.boolean", "xsd.numeric")
@@ -202,31 +203,36 @@ class MRGCN(nn.Module):
 
     def compute_modality_embeddings(self, features: Dict, num_rows: int,
                                     train: bool = False) -> jnp.ndarray:
-        """Encode every modality and scatter the gated outputs into a dense
-        (num_rows, modality_dim) matrix (reference: mrgcn.py:250-305)."""
-        X = jnp.zeros((num_rows, self.modality_dim), dtype=jnp.float32)
-        offset = 0
+        """Encode every modality and place the gated outputs into a dense
+        (num_rows, modality_dim) matrix (reference: mrgcn.py:250-305).
+
+        Placement is gather-only (``ops.placement.place_rows``): XLA:TPU
+        lowers a row scatter to a serial while loop over updates, which
+        dominated the multimodal train step (~250-300 ms of a 488 ms
+        step; see benchmarks/micro_mm_trace.py). Padded feature rows
+        carry out-of-range indices and are dropped by the op."""
+        cols = []
         names = module_names(self.modules_config)
         for i, (name, (datatype, args)) in enumerate(
                 zip(names, self.modules_config)):
             dim = self.encoder_dims[name]
             entry = features.get(name)
-            if entry is None or entry[0].shape[0] == 0:
-                offset += dim
-                continue
-            if name in self.skip_encoders and not self.is_initializing():
-                # dead gate: contribute nothing, compile nothing
-                # (reference: mrgcn.py:263-268)
-                offset += dim
+            dead = name in self.skip_encoders and not self.is_initializing()
+            if entry is None or entry[0].shape[0] == 0 or dead:
+                # dead gate / absent modality: contribute nothing, compile
+                # nothing (reference: mrgcn.py:263-268)
+                cols.append(jnp.zeros((num_rows, dim), dtype=jnp.float32))
                 continue
             data, node_idx = entry
             out = self.encoders[name](self._prepare(datatype, args, data),
                                       train=train)
             out = out * self.gate_weights[i]
-            # mode="drop": padded feature rows carry out-of-range indices
-            X = X.at[node_idx, offset:offset + dim].set(out, mode="drop")
-            offset += dim
-        return X
+            cols.append(place_rows(out.astype(jnp.float32), node_idx,
+                                   num_rows))
+        if not cols:
+            return jnp.zeros((num_rows, self.modality_dim),
+                             dtype=jnp.float32)
+        return jnp.concatenate(cols, axis=1)
 
     def __call__(self, features: Optional[Dict], edges: EdgeBlock,
                  train: bool = False) -> jnp.ndarray:

@@ -151,6 +151,16 @@ def test_densify_tokens_pad_symbol():
     np.testing.assert_array_equal(dense, [[1, 2], [3, 99]])
 
 
+def test_densify_rejects_duplicate_node_indices():
+    # one feature row per node per set is the gather-only placement's
+    # precondition (ops/placement.place_rows); densify fails loudly
+    X = [np.empty((4, 0)),
+         ["xsd.numeric", [[np.ones((3, 1), np.float32),
+                           np.array([2, 2, 5]), np.array([1, 1, 1])]]]]
+    with pytest.raises(ValueError, match="duplicate node indices"):
+        features.densify(X)
+
+
 def test_densify_geometry_min_length():
     X = [np.empty((4, 0)),
          ["ogc.wktLiteral", [[_ragged([np.ones((9, 5))]), np.array([0]),

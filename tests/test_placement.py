@@ -21,7 +21,9 @@ def test_place_rows_matches_scatter_oracle(sorted_idx):
     rng = np.random.default_rng(0)
     n, m, d = 120, 17, 5
     idx = rng.choice(n, m, replace=False).astype(np.int32)
-    idx[-3:] = [n, n + 9, 2 ** 30]  # padding rows: out-of-range
+    # padding rows: out-of-range, duplicates allowed (subset_features
+    # pads every row with the same 2**30 index)
+    idx[-3:] = [n, 2 ** 30, 2 ** 30]
     if sorted_idx:
         idx = np.sort(idx)
     else:

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import logging
 from dataclasses import dataclass
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -207,14 +207,21 @@ def _local_ids(global_ids: np.ndarray, universe: np.ndarray) -> np.ndarray:
 
 
 def subset_features(features: Dict, outer_nodes: np.ndarray,
-                    row_bucket: int = 64) -> Dict:
+                    row_bucket: int = 64,
+                    num_rows: Optional[int] = None) -> Dict:
     """Restrict per-encoder feature rows to the outermost-hop nodes and remap
     their indices to hop-local positions
     (reference: batch.py:265-315 ``mksubset``). Keeps empty entries out —
-    the model skips missing encoders, preserving module order by name."""
+    the model skips missing encoders, preserving module order by name.
+
+    ``num_rows`` is the model's placement row count for this batch (the
+    outermost EdgeBlock's ``num_in``); when given, each entry carries a
+    host-precomputed inverse map (ops/placement.build_rows) so the jitted
+    step places encoder rows with a single gather."""
     outer_sorted = np.asarray(outer_nodes)
     out: Dict = {}
-    for name, (data, node_idx) in features.items():
+    for name, entry in features.items():
+        data, node_idx = entry[0], entry[1]
         node_idx_np = np.asarray(node_idx)
         mask = np.isin(node_idx_np, outer_sorted)
         count = int(mask.sum())
@@ -232,7 +239,11 @@ def subset_features(features: Dict, outer_nodes: np.ndarray,
             # bucket) and are dropped by mode="drop"
             local = np.concatenate(
                 [local, np.full(pad, 2 ** 30, dtype=np.int32)])
-        out[name] = (rows, local)
+        if num_rows is not None:
+            from mrgcn_tpu.ops.placement import build_rows
+            out[name] = (rows, local, build_rows(local, num_rows))
+        else:
+            out[name] = (rows, local)
     return out
 
 

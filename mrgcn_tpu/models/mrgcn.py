@@ -20,7 +20,7 @@ from flax import linen as nn
 
 from mrgcn_tpu.models.encoders import MLP, TCNN, ImageCNN, TextEncoder
 from mrgcn_tpu.models.rgcn import RGCN, EdgeBlock
-from mrgcn_tpu.ops.placement import place_rows
+from mrgcn_tpu.ops.placement import place_rows, place_rows_pre
 
 # datatypes handled per encoder family (reference: mrgcn.py:63-124)
 _MLP1 = ("xsd.boolean", "xsd.numeric")
@@ -78,9 +78,12 @@ class MRGCN(nn.Module):
                                      embedding_dim, dropout)``
 
     The forward takes ``features``: a dict keyed by encoder instance name of
-    ``(data, node_idx)`` arrays — data is raw (uint8 images, int32 tokens,
-    float32 otherwise); casting/normalisation happens inside the program
-    (reference defers image normalisation too, mrgcn.py:286-292).
+    ``(data, node_idx)`` or ``(data, node_idx, rows)`` arrays — data is raw
+    (uint8 images, int32 tokens, float32 otherwise); casting/normalisation
+    happens inside the program (reference defers image normalisation too,
+    mrgcn.py:286-292). ``rows`` is the optional host-precomputed placement
+    inverse map (ops/placement.build_rows) that turns the per-step
+    placement into a single gather.
     """
 
     hidden_dims: Tuple[int, ...]
@@ -223,12 +226,16 @@ class MRGCN(nn.Module):
                 # nothing (reference: mrgcn.py:263-268)
                 cols.append(jnp.zeros((num_rows, dim), dtype=jnp.float32))
                 continue
-            data, node_idx = entry
+            data, node_idx, *pre = entry
             out = self.encoders[name](self._prepare(datatype, args, data),
                                       train=train)
             out = out * self.gate_weights[i]
-            cols.append(place_rows(out.astype(jnp.float32), node_idx,
-                                   num_rows))
+            out = out.astype(jnp.float32)
+            if pre:
+                # host-precomputed inverse map (ops/placement.build_rows)
+                cols.append(place_rows_pre(out, node_idx, pre[0]))
+            else:
+                cols.append(place_rows(out, node_idx, num_rows))
         if not cols:
             return jnp.zeros((num_rows, self.modality_dim),
                              dtype=jnp.float32)

@@ -62,3 +62,48 @@ def _place_bwd(num_rows, res, d_X):
 
 
 place_rows.defvjp(_place_fwd, _place_bwd)
+
+
+# ---------------------------------------------------------------------------
+# host-precomputed inverse map: node_idx is static graph data, so the
+# sort + binary search above is wasted work when repeated every step
+# ---------------------------------------------------------------------------
+
+def build_rows(node_idx, num_rows: int):
+    """Host-side (numpy) inverse map for :func:`place_rows_pre`:
+    ``rows[n] = j`` where ``node_idx[j] == n``, else ``m`` (the zero row).
+    ``node_idx`` entries outside [0, num_rows) are padding and ignored."""
+    import numpy as np
+    idx = np.asarray(node_idx)
+    m = idx.shape[0]
+    rows = np.full(num_rows, m, dtype=np.int32)
+    valid = (idx >= 0) & (idx < num_rows)
+    rows[idx[valid]] = np.nonzero(valid)[0]
+    return rows
+
+
+@jax.custom_vjp
+def place_rows_pre(out: jnp.ndarray, node_idx: jnp.ndarray,
+                   rows: jnp.ndarray) -> jnp.ndarray:
+    """:func:`place_rows` with the inverse map built once on the host
+    (``rows = build_rows(node_idx, num_rows)``). Forward is a single row
+    gather; backward gathers ``d_X[node_idx]`` exactly as place_rows."""
+    padded = jnp.concatenate(
+        [out, jnp.zeros((1, out.shape[1]), out.dtype)], axis=0)
+    return padded[rows]
+
+
+def _place_pre_fwd(out, node_idx, rows):
+    return place_rows_pre(out, node_idx, rows), (node_idx,)
+
+
+def _place_pre_bwd(res, d_X):
+    (node_idx,) = res
+    num_rows = d_X.shape[0]
+    in_range = (node_idx >= 0) & (node_idx < num_rows)
+    safe = jnp.where(in_range, node_idx, 0)
+    d_out = jnp.where(in_range[:, None], d_X[safe], 0)
+    return d_out, None, None
+
+
+place_rows_pre.defvjp(_place_pre_fwd, _place_pre_bwd)

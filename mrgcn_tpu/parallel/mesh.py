@@ -187,13 +187,17 @@ def shard_features(mesh: Mesh, features: Dict) -> Dict:
     replicate otherwise (feature row counts are data-dependent)."""
     data_size = mesh.shape["data"]
     out = {}
-    for name, (data, node_idx) in features.items():
+    for name, entry in features.items():
+        data, node_idx, rest = entry[0], entry[1], entry[2:]
         if data.shape[0] % data_size == 0 and data.shape[0] > 0:
             spec = NamedSharding(mesh, P("data"))
         else:
             spec = replicated(mesh)
+        # the precomputed inverse map (if present) is node-dim sized, not
+        # feature-row sized — replicate it
         out[name] = (jax.device_put(data, spec),
-                     jax.device_put(node_idx, spec))
+                     jax.device_put(node_idx, spec),
+                     *(jax.device_put(r, replicated(mesh)) for r in rest))
     return out
 
 

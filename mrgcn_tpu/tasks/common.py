@@ -92,8 +92,10 @@ def prepare_inputs(artifact: Artifact, config: Dict,
         data = jnp.asarray(enc)
         if datatype in ("xsd.string", "xsd.anyURI"):
             text_vocab = max(text_vocab, int(np.max(enc)) + 1)
-        features[name] = (data, jnp.asarray(np.asarray(node_idx),
-                                            dtype=jnp.int32))
+        idx_np = np.asarray(node_idx)
+        from mrgcn_tpu.ops.placement import build_rows
+        features[name] = (data, jnp.asarray(idx_np, dtype=jnp.int32),
+                          jnp.asarray(build_rows(idx_np, n)))
 
     from mrgcn_tpu.encodings.structure import group_by_relation
     grouping = group_by_relation(structure.src, structure.dst,

@@ -133,8 +133,9 @@ def make_lp_batches(inputs: RunInputs, data: np.ndarray,
 
                 mb = batching.sample_minibatch(index, subset_nodes,
                                                num_layers)
-                feats = batching.subset_features(inputs.features,
-                                                 mb.outer_nodes)
+                feats = batching.subset_features(
+                    inputs.features, mb.outer_nodes,
+                    num_rows=mb.layer_edges[0].num_in)
                 data_pad, pool_pad = _pad_lp_arrays(
                     data_subset.astype(np.int32),
                     np.arange(len(subset_nodes), dtype=np.int32))

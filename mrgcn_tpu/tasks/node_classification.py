@@ -132,7 +132,8 @@ def make_batches(inputs: RunInputs, label_rows: np.ndarray, batchsize: int,
         # same local output row
         uniq_nodes, inverse = np.unique(rows[:, 0], return_inverse=True)
         mb = batching.sample_minibatch(index, uniq_nodes, num_layers)
-        feats = batching.subset_features(inputs.features, mb.outer_nodes)
+        feats = batching.subset_features(inputs.features, mb.outer_nodes,
+                                         num_rows=mb.layer_edges[0].num_in)
         idx, targets, weights = _pad_labels(
             inverse.astype(np.int32), rows[:, 1])
         batches.append(NCBatch(features=feats, edges=mb.layer_edges,

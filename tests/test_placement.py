@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from mrgcn_tpu.ops.placement import place_rows
+from mrgcn_tpu.ops.placement import build_rows, place_rows, place_rows_pre
 
 
 def _oracle(out, idx, n):
@@ -49,6 +49,45 @@ def test_place_rows_grad_is_row_gather():
         if 0 <= idx[j] < n:
             gref[j] = W[idx[j]]
     np.testing.assert_allclose(np.asarray(g), gref, atol=0)
+
+
+@pytest.mark.parametrize("n,m,d", [(120, 17, 5), (64, 64, 3)])
+def test_place_rows_pre_matches_place_rows(n, m, d):
+    rng = np.random.default_rng(3)
+    idx = rng.choice(n, m, replace=False).astype(np.int32)
+    if m >= 3:
+        idx[-2:] = [n, 2 ** 30]  # padding rows
+    out = jnp.asarray(rng.random((m, d)).astype(np.float32))
+    rows = jnp.asarray(build_rows(idx, n))
+    idx = jnp.asarray(idx)
+
+    np.testing.assert_array_equal(
+        np.asarray(place_rows_pre(out, idx, rows)),
+        np.asarray(place_rows(out, idx, n)))
+
+    W = jnp.asarray(rng.random((n, d)).astype(np.float32))
+    g_pre = jax.grad(lambda o: jnp.sum(place_rows_pre(o, idx, rows) * W))(out)
+    g_ref = jax.grad(lambda o: jnp.sum(place_rows(o, idx, n) * W))(out)
+    np.testing.assert_array_equal(np.asarray(g_pre), np.asarray(g_ref))
+
+
+def test_subset_features_emits_inverse_map():
+    from mrgcn_tpu.data.batching import subset_features
+    data = np.arange(12, dtype=np.float32).reshape(6, 2)
+    node_idx = np.array([5, 9, 14, 2, 7, 11], dtype=np.int32)
+    outer = np.array([2, 7, 9], dtype=np.int32)
+    num_rows = 64
+    out = subset_features({"enc": (data, node_idx)}, outer,
+                          num_rows=num_rows)
+    rows_arr, local, inv = out["enc"]
+    assert inv.shape == (num_rows,)
+    X = np.asarray(place_rows_pre(jnp.asarray(rows_arr.astype(np.float32)),
+                                  jnp.asarray(local), jnp.asarray(inv)))
+    # outer node 2 -> local 0 carries data row 3, node 7 -> row 4, 9 -> row 1
+    np.testing.assert_array_equal(X[0], data[3])
+    np.testing.assert_array_equal(X[1], data[4])
+    np.testing.assert_array_equal(X[2], data[1])
+    assert np.all(X[3:] == 0)
 
 
 def test_place_rows_jits_and_vjp_under_jit():

@@ -103,6 +103,12 @@ def _identity_planned(packed, comp, plan, out_dim):
     else:
         pk = packed
     if comp is not None:
+        import os
+        if os.environ.get("MRGCN_FUSED_COMPOSE_BWD", "0") != "0":
+            # single-pass backward over the cotangent table: d_comp and
+            # d_packed come from ONE read of d_t
+            # (ops/relational.featureless_composed)
+            return rl.featureless_composed(comp, pk, plan, out_dim)
         # relation-major 3-D compose with a custom vjp: keeps the
         # (R*rows, lanes) view a free bitcast and the dot exact f32 —
         # train-step cost 42.2 -> 29.0 ms at bench scale

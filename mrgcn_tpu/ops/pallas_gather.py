@@ -408,6 +408,96 @@ sorted_scatter.defvjp(_sorted_scatter_fwd, _sorted_scatter_bwd)
 
 
 # --------------------------------------------------------------------------
+# Single-pass compose gradient: d_comp and d_packed from ONE read of d_t
+# --------------------------------------------------------------------------
+
+def _compose_grad_kernel(dt_ref, pk_ref, comp_ref, dcomp_ref, dp_ref, *,
+                         rc: int, last: int):
+    """Per grid step: one (R, rc, L) chunk of the relation-major d_table.
+
+    For every packed row j in the chunk (static unroll):
+      * ``d_comp += dot(d_t[:, j, :], packed[:, j, :]^T)``  — (R, B)
+      * ``d_packed[:, j, :] = dot(comp^T, d_t[:, j, :])``   — (B, L)
+    Both are MXU 2-D dots; the revisited d_comp block accumulates in VMEM
+    and is flushed once at the end of the grid.
+    """
+    c = pl.program_id(0)
+
+    @pl.when(c == 0)
+    def _():
+        dcomp_ref[:] = jnp.zeros_like(dcomp_ref)
+
+    acc = dcomp_ref[:]
+    for j in range(rc):
+        dt_row = dt_ref[:, j, :]                           # (R, L)
+        acc += jax.lax.dot_general(
+            dt_row, pk_ref[:, j, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)           # (R, B)
+        dp_ref[:, j, :] = jax.lax.dot_general(
+            comp_ref[:], dt_row, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)           # (B, L)
+    dcomp_ref[:] = acc
+
+
+def compose_grad_pass(d_t: jnp.ndarray, packed: jnp.ndarray,
+                      comp: jnp.ndarray, R: int, B: int,
+                      interpret: bool = False):
+    """Backward of the relation-major compose in ONE pass over ``d_t``.
+
+    Computes ``d_comp = einsum('rql,bql->rb', d_t, packed)`` and
+    ``d_packed = einsum('rb,rql->bql', comp, d_t)`` reading the
+    (R*rows, L) cotangent table once — the XLA pair of dot_generals
+    (rspmm._compose_packed_bwd) streams it twice, and at bench scale the
+    table is the largest tensor in the step (~793 MB).
+
+    ``d_t``: (R*rows, L); ``packed``: (B*rows, L); ``comp``: (R, B).
+    Returns ``(d_comp (R, B), d_packed (B*rows, L))``. The 3-D views are
+    free bitcasts of the 2-D inputs because rows is a multiple of the
+    (8, 128) tile height.
+    """
+    rows = d_t.shape[0] // R
+    L = d_t.shape[1]
+    if not (_use_pallas() or interpret) or rows % 8:
+        d_comp = jax.lax.dot_general(
+            d_t.reshape(R, rows, L), packed.reshape(B, rows, L),
+            (((1, 2), (1, 2)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+        d_packed = jax.lax.dot_general(
+            comp, d_t.reshape(R, rows, L), (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+        return d_comp, d_packed.reshape(B * rows, L)
+
+    rc = 32
+    while rows % rc:
+        rc //= 2
+
+    grid_spec = pl.GridSpec(
+        grid=(rows // rc,),
+        in_specs=[
+            pl.BlockSpec((R, rc, L), lambda c: (0, c, 0)),
+            pl.BlockSpec((B, rc, L), lambda c: (0, c, 0)),
+            pl.BlockSpec((R, B), lambda c: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((R, B), lambda c: (0, 0)),
+            pl.BlockSpec((B, rc, L), lambda c: (0, c, 0)),
+        ],
+    )
+    d_comp, d_packed = pl.pallas_call(
+        partial(_compose_grad_kernel, rc=rc, last=rows // rc - 1),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((R, B), jnp.float32),
+            jax.ShapeDtypeStruct((B, rows, L), jnp.float32),
+        ],
+        interpret=interpret,
+    )(d_t.reshape(R, rows, L), packed.reshape(B, rows, L), comp)
+    return d_comp, d_packed.reshape(B * rows, L)
+
+
+# --------------------------------------------------------------------------
 # Fused place-scatter: select sub-row + norm + sub-row placement + scatter
 # in one kernel (no (E, L) intermediates through HBM)
 # --------------------------------------------------------------------------

@@ -63,6 +63,7 @@ from flax import struct
 
 from mrgcn_tpu.ops.pallas_gather import (EDGE_BLOCK, ROW_BLOCK,
                                          _super_blocks, _use_pallas,
+                                         compose_grad_pass,
                                          fused_place_scatter,
                                          sorted_gather, sorted_scatter)
 
@@ -561,6 +562,54 @@ def _featureless_bwd(out_dim, interpret, res, d_out):
 
 
 featureless_aggregate.defvjp(_featureless_fwd, _featureless_bwd)
+
+
+# --------------------------------------------------------------------------
+# composed featureless layer: compose + aggregate with a single-pass backward
+# --------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def featureless_composed(comp: jnp.ndarray, packed: jnp.ndarray,
+                         plans: LayerPlans, out_dim: int,
+                         interpret: bool = False) -> jnp.ndarray:
+    """``featureless_aggregate(compose(comp, packed))`` with a fused
+    backward: the cotangent table d_t is scattered once (bwd_table stream)
+    and then consumed by :func:`..pallas_gather.compose_grad_pass`, which
+    emits d_comp AND d_packed in ONE pass over d_t — the generic vjp chain
+    (featureless_aggregate -> compose_packed) streams the ~793 MB table
+    twice (benchmarks/micro_compose_bwd_variants.py).
+
+    ``comp``: (R, B); ``packed``: (B, n_in_rows, L) pre-padded to the
+    plan's row count. Returns (num_nodes, out_dim).
+    """
+    from mrgcn_tpu.ops.rspmm import compose_packed
+    flat = compose_packed(comp, packed)
+    return featureless_aggregate(flat.reshape(-1, packed.shape[2]), plans,
+                                 out_dim, interpret)
+
+
+def _featureless_composed_fwd(comp, packed, plans, out_dim, interpret):
+    out = featureless_composed(comp, packed, plans, out_dim, interpret)
+    return out, (comp, packed, plans)
+
+
+def _featureless_composed_bwd(out_dim, interpret, res, d_out):
+    comp, packed, plans = res
+    R, B = comp.shape
+    L = packed.shape[2]
+    b = plans.bwd_table
+    d_out_p = pack_rows(d_out, plans.k_out, plans.n_out_rows)
+    d_v = _gather_sub(d_out_p, b.src_row, b.out_mod, plans.k_out, out_dim)
+    d_table = _place_scatter(d_v, b.in_mod, b, R * plans.n_in_rows,
+                             plans.k_in, out_dim, L, interpret)
+    d_comp, d_packed = compose_grad_pass(
+        d_table, packed.reshape(-1, L), comp, R, B, interpret)
+    return (d_comp.astype(comp.dtype),
+            d_packed.reshape(packed.shape).astype(packed.dtype), None)
+
+
+featureless_composed.defvjp(_featureless_composed_fwd,
+                            _featureless_composed_bwd)
 
 
 # --------------------------------------------------------------------------

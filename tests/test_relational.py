@@ -109,6 +109,47 @@ def test_dense_fwd_and_grad(in_dim, out_dim):
                                    rtol=3e-4, atol=3e-4)
 
 
+@pytest.mark.parametrize("interpret", [False, True])
+def test_featureless_composed_fused_bwd(monkeypatch, interpret):
+    """featureless_composed (single-pass d_comp/d_packed backward) matches
+    the unfused compose_packed -> featureless_aggregate chain, forward and
+    gradients, in both the XLA fallback and Pallas interpret mode."""
+    if interpret:
+        monkeypatch.setenv("MRGCN_FORCE_PALLAS_GATHER", "1")
+    src, dst, rel, norm, n, R, E = random_graph(seed=5)
+    rng = np.random.default_rng(3)
+    out_dim, B = 16, 3
+    k = rspmm.packing_factor(out_dim)
+    plans = rl.build_layer_plans(src, dst, rel, norm, n, k, k,
+                                 row_block=16, edge_block=8)
+    lw = rl.line_width(k, out_dim)
+    comp = jnp.asarray(rng.standard_normal((R, B)).astype(np.float32))
+    packed = jnp.asarray(rng.standard_normal(
+        (B, plans.n_in_rows, lw)).astype(np.float32))
+    cot = jnp.asarray(rng.standard_normal((n, out_dim)).astype(np.float32))
+
+    def loss_fused(c, p):
+        return jnp.vdot(rl.featureless_composed(c, p, plans, out_dim,
+                                                interpret), cot)
+
+    def loss_chain(c, p):
+        flat = rspmm.compose_packed(c, p).reshape(-1, lw)
+        return jnp.vdot(rl.featureless_aggregate(flat, plans, out_dim,
+                                                 interpret), cot)
+
+    out_f = rl.featureless_composed(comp, packed, plans, out_dim, interpret)
+    flat = rspmm.compose_packed(comp, packed).reshape(-1, lw)
+    out_c = rl.featureless_aggregate(flat, plans, out_dim, interpret)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_c),
+                               rtol=1e-5, atol=1e-5)
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1))(comp, packed)
+    g_c = jax.grad(loss_chain, argnums=(0, 1))(comp, packed)
+    for a, b in zip(g_f, g_c):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_pallas_interpret_parity(monkeypatch):
     """The Pallas scatter/gather kernels (interpret mode) reproduce the XLA
     fallback bit-for-bit paths within f32 matmul tolerance."""

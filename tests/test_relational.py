@@ -114,14 +114,16 @@ def test_featureless_composed_fused_bwd(monkeypatch, interpret):
     """featureless_composed (single-pass d_comp/d_packed backward) matches
     the unfused compose_packed -> featureless_aggregate chain, forward and
     gradients, in both the XLA fallback and Pallas interpret mode."""
-    if interpret:
-        monkeypatch.setenv("MRGCN_FORCE_PALLAS_GATHER", "1")
-    src, dst, rel, norm, n, R, E = random_graph(seed=5)
+    # small graph: interpret-mode pallas is ~1000x slower per op, and the
+    # XLA-fallback variant covers the large-shape algebra already
+    src, dst, rel, norm, n, R, E = random_graph(
+        seed=5, **({"n": 24, "E": 80, "R": 4} if interpret else {}))
     rng = np.random.default_rng(3)
     out_dim, B = 16, 3
     k = rspmm.packing_factor(out_dim)
     plans = rl.build_layer_plans(src, dst, rel, norm, n, k, k,
-                                 row_block=16, edge_block=8)
+                                 row_block=8 if interpret else 16,
+                                 edge_block=8)
     lw = rl.line_width(k, out_dim)
     comp = jnp.asarray(rng.standard_normal((R, B)).astype(np.float32))
     packed = jnp.asarray(rng.standard_normal(
@@ -133,18 +135,25 @@ def test_featureless_composed_fused_bwd(monkeypatch, interpret):
                                                 interpret), cot)
 
     def loss_chain(c, p):
+        # the oracle always runs the (fast) XLA fallback — the interpret
+        # variant's job is ONLY to exercise the Pallas kernels on the
+        # fused side
         flat = rspmm.compose_packed(c, p).reshape(-1, lw)
         return jnp.vdot(rl.featureless_aggregate(flat, plans, out_dim,
-                                                 interpret), cot)
+                                                 False), cot)
 
-    out_f = rl.featureless_composed(comp, packed, plans, out_dim, interpret)
+    # oracle values on the plain XLA paths FIRST (the pallas force below
+    # would reroute them through uncompilable-on-CPU kernels)
     flat = rspmm.compose_packed(comp, packed).reshape(-1, lw)
-    out_c = rl.featureless_aggregate(flat, plans, out_dim, interpret)
+    out_c = rl.featureless_aggregate(flat, plans, out_dim, False)
+    g_c = jax.grad(loss_chain, argnums=(0, 1))(comp, packed)
+
+    if interpret:
+        monkeypatch.setenv("MRGCN_FORCE_PALLAS_GATHER", "1")
+    out_f = rl.featureless_composed(comp, packed, plans, out_dim, interpret)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_c),
                                rtol=1e-5, atol=1e-5)
-
     g_f = jax.grad(loss_fused, argnums=(0, 1))(comp, packed)
-    g_c = jax.grad(loss_chain, argnums=(0, 1))(comp, packed)
     for a, b in zip(g_f, g_c):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)

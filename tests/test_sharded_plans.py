@@ -70,6 +70,40 @@ def test_identity_sharded_matches_single(mesh):
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_identity_sharded_fused_compose_bwd(mesh, monkeypatch):
+    """The fused compose-backward path (MRGCN_FUSED_COMPOSE_BWD) stays
+    correct inside shard_map: per-device d_t scatter + single-pass
+    compose_grad_pass, psum'd over the data axis."""
+    monkeypatch.setenv("MRGCN_FUSED_COMPOSE_BWD", "1")
+    src, dst, rel, norm, n, R = _graph(seed=7)
+    B, out = 3, 16
+    plan1 = rl.plans_for_layers(src, dst, rel, norm, n,
+                                [(None, out)])["8:8:id"]
+    plan8 = rl.shard_layer_plans(src, dst, rel, norm, n, 8, 8, 8,
+                                 kind="identity")
+    rng = np.random.default_rng(8)
+    shape, _ = rspmm.packed_identity_shape(B, n, out)
+    packed = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    comp = jnp.asarray(rng.standard_normal((R, B)).astype(np.float32))
+
+    out1 = _identity_planned(packed, comp, plan1, out)
+    out8 = _identity_planned_sharded(packed, comp, plan8, out, mesh)
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out1),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss8(pk, c):
+        return (_identity_planned_sharded(pk, c, plan8, out, mesh)
+                ** 2).sum()
+
+    monkeypatch.setenv("MRGCN_FUSED_COMPOSE_BWD", "0")
+    g_plain = jax.grad(loss8, argnums=(0, 1))(packed, comp)
+    monkeypatch.setenv("MRGCN_FUSED_COMPOSE_BWD", "1")
+    g_fused = jax.grad(loss8, argnums=(0, 1))(packed, comp)
+    for a, b in zip(g_fused, g_plain):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_dense_sharded_matches_single(mesh):
     src, dst, rel, norm, n, R = _graph(seed=2)
     in_dim = out = 16

@@ -76,6 +76,104 @@ def step_time_with_flag(fused: str) -> float:
     return per_iter_time(full, params, opt_state, iters=10) * 1e3
 
 
+def lp_parts():
+    """Decompose the LP FB15k-scale train step (epoch 0.161 s): where do
+    the milliseconds go when XLA's own FLOP count says ~4.4 ms of MXU?"""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from benchmarks.bench_suite import lp_workload
+    from benchmarks.timing import per_iter_time
+    from mrgcn_tpu.encodings.structure import group_by_relation
+    from mrgcn_tpu.models.rgcn import RGCN, EdgeBlock
+    from mrgcn_tpu.ops import distmult
+    from mrgcn_tpu.ops import relational as rl
+    from mrgcn_tpu.ops import rspmm
+
+    w = lp_workload()
+    n, R = w["n"], w["R"]
+    hidden, B = 200, 2
+    plans = rl.plans_for_layers(w["src"], w["dst"], w["rel"], w["norm"], n,
+                                [(None, hidden), (hidden, hidden)])
+    grouping = group_by_relation(w["src"], w["dst"], w["rel"], w["norm"], n)
+    edges = EdgeBlock(src=jnp.asarray(w["src"]), dst=jnp.asarray(w["dst"]),
+                      rel=jnp.asarray(w["rel"]),
+                      norm=jnp.asarray(w["norm"]), num_out=n, plans=plans,
+                      grp_src=jnp.asarray(grouping.src),
+                      grp_dst=jnp.asarray(grouping.dst),
+                      grp_norm=jnp.asarray(grouping.norm),
+                      group_rel=jnp.asarray(grouping.group_rel),
+                      group_size=grouping.group_size)
+    model = RGCN(hidden_dims=(hidden, hidden), num_relations=R,
+                 num_nodes=n, num_bases=B, featureless=True,
+                 link_prediction=True)
+    params = model.init(jax.random.PRNGKey(0), None, edges)["params"]
+    trip = jnp.asarray(w["trip"])
+
+    results = {}
+
+    def report(name, seconds):
+        results[name] = round(seconds * 1e3, 3)
+        print(json.dumps({name: results[name]}), flush=True)
+
+    def embed_loss(p):
+        return jnp.sum(model.apply({"params": p}, None, edges) ** 2)
+
+    report("lp_embed_fwd_ms", per_iter_time(
+        lambda p: embed_loss(p), params, iters=10))
+    report("lp_embed_fwd_bwd_ms", per_iter_time(
+        lambda p: jax.value_and_grad(embed_loss)(p)[0], params, iters=10))
+
+    # layer-1 featureless identity gather alone (fused-basis path: the
+    # planned table at R=475 x 200 lanes would be ~7 GB, so the model
+    # falls back to gather_aggregate)
+    l1 = params["layer_0"]
+    wi = l1["weight_i"]
+    comp_i = l1.get("comp_i")
+
+    def l1_loss(v):
+        out = rspmm.gather_aggregate(
+            v[:, :n, :hidden], edges.src, edges.dst, edges.rel,
+            edges.norm, n, comp=comp_i)
+        return jnp.sum(out ** 2)
+
+    report("lp_layer1_fwd_ms", per_iter_time(l1_loss, wi, iters=10))
+    report("lp_layer1_fwd_bwd_ms", per_iter_time(
+        lambda v: jax.value_and_grad(l1_loss)(v)[0], wi, iters=10))
+
+    # layer-2 grouped dense aggregation alone
+    H = jnp.ones((n, hidden), jnp.float32)
+    wf = params["layer_1"]["weight_f"]
+    comp_f = params["layer_1"].get("comp_f")
+
+    def l2_loss(h):
+        out = rspmm.transform_aggregate_grouped(
+            h, edges.grp_src, edges.grp_dst, edges.grp_norm,
+            edges.group_rel, edges.group_size, n, wf, comp=comp_f)
+        return jnp.sum(out ** 2)
+
+    report("lp_layer2_fwd_ms", per_iter_time(l2_loss, H, iters=10))
+    report("lp_layer2_fwd_bwd_ms", per_iter_time(
+        lambda h: jax.value_and_grad(l2_loss)(h)[0], H, iters=10))
+
+    # DistMult scoring + BCE on fixed embeddings
+    emb = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (n, hidden)), jnp.float32)
+    rels = params["relations"]
+    labels = jnp.ones((trip.shape[0],), jnp.float32)
+
+    def score_loss(e):
+        s = distmult.score(trip[:, 0], trip[:, 1], trip[:, 2], e, rels)
+        return optax.sigmoid_binary_cross_entropy(s, labels).mean()
+
+    report("lp_score_fwd_ms", per_iter_time(score_loss, emb, iters=10))
+    report("lp_score_fwd_bwd_ms", per_iter_time(
+        lambda e: jax.value_and_grad(score_loss)(e)[0], emb, iters=10))
+
+    print("FINAL_LP " + json.dumps(results), flush=True)
+
+
 def run_script(mod_name: str):
     print(f"\n===== {mod_name} =====", flush=True)
     mod = __import__(f"benchmarks.{mod_name}", fromlist=["main"])
@@ -94,6 +192,11 @@ def main():
     print(json.dumps({"step_fused_off_ms": round(off, 3)}), flush=True)
     on = step_time_with_flag("1")
     print(json.dumps({"step_fused_on_ms": round(on, 3)}), flush=True)
+
+    run_script("micro_multimodal_parts")
+
+    print("\n===== LP step decomposition =====", flush=True)
+    lp_parts()
 
 
 if __name__ == "__main__":

@@ -136,31 +136,25 @@ def test_module_names_match_reference_scheme():
                      "ogc_wktLiteral_0", "blob_image_0")
 
 
-def test_mrgcn_multimodal_forward():
+def test_mrgcn_multimodal_forward_and_gradients():
+    """Forward shape/gates plus gradient flow to every encoder — one test
+    so the expensive 5-encoder init+compile happens once (it dominated the
+    quick tier at ~90 s as two tests)."""
     rng = np.random.default_rng(4)
     n, R = 10, 3
     edges = _edges(rng, n, R)
     model = MRGCN(hidden_dims=(16, 3), modules_config=MODULES_CONFIG,
                   num_relations=R, num_nodes=n)
     feats = _multimodal_inputs(rng, n)
-    params = model.init(jax.random.PRNGKey(0), feats, edges)
-    out = model.apply(params, feats, edges)
+    variables = model.init(jax.random.PRNGKey(0), feats, edges)
+    out = model.apply(variables, feats, edges)
     assert out.shape == (n, 3)
     assert np.all(np.isfinite(np.asarray(out)))
     # gates exist, init 0.1 (reference: mrgcn.py:150-156)
-    gates = params["params"]["gate_weights"]
+    gates = variables["params"]["gate_weights"]
     np.testing.assert_allclose(np.asarray(gates), 0.1)
     assert gates.shape == (5,)
 
-
-def test_mrgcn_gradients_flow_to_all_encoders():
-    rng = np.random.default_rng(5)
-    n, R = 10, 3
-    edges = _edges(rng, n, R)
-    model = MRGCN(hidden_dims=(16, 3), modules_config=MODULES_CONFIG,
-                  num_relations=R, num_nodes=n)
-    feats = _multimodal_inputs(rng, n)
-    variables = model.init(jax.random.PRNGKey(0), feats, edges)
     params = variables["params"]
     other = {k: v for k, v in variables.items() if k != "params"}
 

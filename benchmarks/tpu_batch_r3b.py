@@ -174,6 +174,65 @@ def lp_parts():
     print("FINAL_LP " + json.dumps(results), flush=True)
 
 
+def lp_stream_trial():
+    """LP dense layer (200x200, R=475) on the sorted-stream engine with
+    rel_const FORCED (the auto-heuristic rejects it for the ~4x slab
+    padding) at several edge_block sizes, vs the shipped relation-grouped
+    path. If the Pallas scatter beats the XLA segment_sum by more than the
+    padded slab matmuls cost, the heuristic is wrong at LP scale."""
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.bench_suite import lp_workload
+    from benchmarks.timing import per_iter_time
+    from mrgcn_tpu.encodings.structure import group_by_relation
+    from mrgcn_tpu.ops import relational as rl
+    from mrgcn_tpu.ops import rspmm
+
+    w = lp_workload()
+    n, R = w["n"], w["R"]
+    hidden = 200
+    rng = np.random.default_rng(4)
+    H = jnp.asarray(rng.standard_normal((n, hidden)), jnp.float32)
+    W = jnp.asarray(rng.standard_normal((R, hidden, hidden)) * 0.01,
+                    jnp.float32)
+    results = {}
+
+    def report(name, seconds):
+        results[name] = round(seconds * 1e3, 3)
+        print(json.dumps({name: results[name]}), flush=True)
+
+    grouping = group_by_relation(w["src"], w["dst"], w["rel"], w["norm"], n)
+
+    def grouped_loss(h):
+        out = rspmm.transform_aggregate_grouped(
+            h, jnp.asarray(grouping.src), jnp.asarray(grouping.dst),
+            jnp.asarray(grouping.norm), jnp.asarray(grouping.group_rel),
+            grouping.group_size, n, W)
+        return jnp.sum(out ** 2)
+
+    report("grouped_fwd_bwd_ms", per_iter_time(
+        lambda h: jax.value_and_grad(grouped_loss)(h)[0], H, iters=10))
+
+    for eb in (64, 128, 256):
+        plans = rl.build_layer_plans(
+            w["src"], w["dst"], w["rel"], w["norm"], n, 1, 1,
+            edge_block=eb, kind="dense",
+            rel_const_override={"fwd": True, "bwd_h": True})
+        print(json.dumps({
+            f"stream_eb{eb}_padded_edges": plans.fwd.num_padded_edges,
+            "raw_edges": int(len(w["src"]))}), flush=True)
+
+        def stream_loss(h, plans=plans):
+            out = rl.dense_aggregate(h, W, plans, hidden, hidden)
+            return jnp.sum(out ** 2)
+
+        report(f"stream_eb{eb}_fwd_bwd_ms", per_iter_time(
+            lambda h: jax.value_and_grad(stream_loss)(h)[0], H, iters=10))
+
+    print("FINAL_LP_STREAM " + json.dumps(results), flush=True)
+
+
 def run_script(mod_name: str):
     print(f"\n===== {mod_name} =====", flush=True)
     mod = __import__(f"benchmarks.{mod_name}", fromlist=["main"])
@@ -197,6 +256,9 @@ def main():
 
     print("\n===== LP step decomposition =====", flush=True)
     lp_parts()
+
+    print("\n===== LP stream-engine trial =====", flush=True)
+    lp_stream_trial()
 
 
 if __name__ == "__main__":

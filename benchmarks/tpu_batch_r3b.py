@@ -142,6 +142,24 @@ def lp_parts():
     report("lp_layer1_fwd_bwd_ms", per_iter_time(
         lambda v: jax.value_and_grad(l1_loss)(v)[0], wi, iters=10))
 
+    # layer-1 on the basis-stream engine (featureless_basis, :idb plans)
+    if comp_i is not None:
+        plans_idb = rl.plans_for_layers(
+            w["src"], w["dst"], w["rel"], w["norm"], n, [(None, hidden)],
+            identity_basis=True)[f"1:1:idb"]
+
+        def l1_basis_loss(v):
+            out = rl.featureless_basis(comp_i, v, plans_idb, hidden)
+            return jnp.sum(out ** 2)
+
+        wi_rows = wi if wi.shape[1] == plans_idb.n_in_rows \
+            else wi[:, :plans_idb.n_in_rows, :]
+        report("lp_layer1_basis_fwd_ms", per_iter_time(
+            l1_basis_loss, wi_rows, iters=10))
+        report("lp_layer1_basis_fwd_bwd_ms", per_iter_time(
+            lambda v: jax.value_and_grad(l1_basis_loss)(v)[0], wi_rows,
+            iters=10))
+
     # layer-2 grouped dense aggregation alone
     H = jnp.ones((n, hidden), jnp.float32)
     wf = params["layer_1"]["weight_f"]

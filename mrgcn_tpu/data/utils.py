@@ -90,4 +90,8 @@ def triples_to_indices(kg: KnowledgeGraph, node_map: Dict, edge_map: Dict,
     for i, (s, p, o) in enumerate(
             kg.triples(separate_literals=separate_literals)):
         data[i] = (node_map[s], edge_map[p], node_map[o])
-    return data
+    # canonical row order: KnowledgeGraph stores a SET of triples, so the
+    # iteration above follows the interpreter's hash seed — unsorted, the
+    # artifact (and every downstream batch/corruption draw) would differ
+    # between processes even with identical seeds
+    return data[np.lexsort((data[:, 2], data[:, 1], data[:, 0]))]

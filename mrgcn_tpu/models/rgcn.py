@@ -68,11 +68,12 @@ class EdgeBlock:
             return None
         k_in = rspmm.packing_factor(in_width)
         k_out = rspmm.packing_factor(out_width)
-        key = f"{k_in}:{k_out}:id" if identity else f"{k_in}:{k_out}"
-        plan = self.plans.get(key)
-        if plan is None and identity:
-            plan = self.plans.get(f"{k_in}:{k_out}")
-        return plan
+        if identity:
+            plan = self.plans.get(f"{k_in}:{k_out}:id") \
+                or self.plans.get(f"{k_in}:{k_out}:idb") \
+                or self.plans.get(f"{k_in}:{k_out}")
+            return plan
+        return self.plans.get(f"{k_in}:{k_out}")
 
     @property
     def identity_dst(self) -> jnp.ndarray:
@@ -144,6 +145,34 @@ def _identity_planned_sharded(packed, comp, plan, out_dim, mesh):
                          check_vma=False)(packed, comp, plan)
 
 
+def _basis_planned(packed, comp, plan, out_dim):
+    """Featureless basis-stream layer (ops/relational.featureless_basis):
+    the composed table would not fit HBM, so compose happens per edge."""
+    from mrgcn_tpu.ops import relational as rl
+    n_rows = packed.shape[1]
+    if n_rows > plan.n_in_rows:
+        pk = packed[:, :plan.n_in_rows, :]
+    elif n_rows < plan.n_in_rows:
+        pk = jnp.pad(packed, ((0, 0), (0, plan.n_in_rows - n_rows),
+                              (0, 0)))
+    else:
+        pk = packed
+    return rl.featureless_basis(comp, pk, plan, out_dim)
+
+
+def _basis_planned_sharded(packed, comp, plan, out_dim, mesh):
+    from mrgcn_tpu.ops import relational as rl
+
+    def local(pk, c, pl):
+        out = _basis_planned(pk, c, rl.unstack_plan(pl), out_dim)
+        return jax.lax.psum(out, "data")
+
+    in_specs, out_spec = _shard_specs(2)
+    return jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_spec,
+                         check_vma=False)(packed, comp, plan)
+
+
 def _dense_planned_sharded(H, W, plan, in_dim, out_dim, mesh):
     from mrgcn_tpu.ops import relational as rl
 
@@ -205,16 +234,24 @@ class RGCNLayer(nn.Module):
                                                    self.out_dim)
             plan_i = edges.plan_for(self.out_dim, self.out_dim,
                                     identity=True)
+            use_basis = False
             if plan_i is not None and comp_i is not None:
                 # the planned featureless op gathers from the COMPOSED
                 # (R * rows, lanes) table; for wide layouts (e.g. LP
-                # hidden=200, R~500) that table would not fit HBM — fall
-                # back to the basis-mix path
+                # hidden=200, R~500) that table would not fit HBM — run
+                # the basis-stream op (per-edge compose, B gathers) when
+                # the plans carry its dst-sorted bwd_h stream, else fall
+                # back to the fused-basis XLA path
+                from mrgcn_tpu.ops import relational as rl
                 lanes = rspmm.packed_identity_shape(
                     S, self.num_nodes, self.out_dim)[0][2]
                 table_elems = self.num_relations * plan_i.n_in_rows * lanes
-                if table_elems > 2 ** 29:   # 2 GiB f32
-                    plan_i = None
+                if table_elems > rl.COMPOSED_TABLE_MAX_ELEMS:
+                    if plan_i.kind == "identity_basis" \
+                            and 0 < self.num_bases <= rl.MAX_BASIS_STREAMS:
+                        use_basis = True
+                    else:
+                        plan_i = None
             weight_i = self.param(
                 "weight_i_packed" if k > 1 else "weight_i",
                 tinit.packed_xavier_uniform(fan_shape, self.num_nodes,
@@ -222,8 +259,13 @@ class RGCNLayer(nn.Module):
                 shape)
             if plan_i is not None and plan_i.num_shards > 1 \
                     and edges.mesh is not None:
-                out = _identity_planned_sharded(weight_i, comp_i, plan_i,
-                                                self.out_dim, edges.mesh)
+                fn = _basis_planned_sharded if use_basis \
+                    else _identity_planned_sharded
+                out = fn(weight_i, comp_i, plan_i, self.out_dim,
+                         edges.mesh)
+            elif use_basis:
+                out = _basis_planned(weight_i, comp_i, plan_i,
+                                     self.out_dim)
             elif plan_i is not None:
                 out = _identity_planned(weight_i, comp_i, plan_i,
                                         self.out_dim)

@@ -174,6 +174,10 @@ class LayerPlans:
     # mesh data-axis device); see shard_layer_plans / the shard_map
     # wrappers in models/rgcn.py
     num_shards: int = struct.field(pytree_node=False, default=1)
+    # "dense" | "identity" | "identity_basis" — how the streams were built
+    # (identity_basis carries a real dst-sorted bwd_h for
+    # featureless_basis)
+    kind: str = struct.field(pytree_node=False, default="dense")
 
 
 def _pad_rows(num_nodes: int, k: int, row_block: int) -> int:
@@ -288,6 +292,14 @@ def build_layer_plans(src, dst, rel, norm, num_nodes: int, k_in: int,
     if kind == "identity":
         fwd = mk(src, flat_row, out_row)
         bwd_h = fwd        # unused by the featureless ops; alias, no copy
+    elif kind == "identity_basis":
+        # featureless layer that gathers the B basis tables per edge and
+        # composes with comp[rel_e] in-stream (featureless_basis) — its
+        # backward scatters d_packed on a dst-sorted stream, so bwd_h is
+        # real here (plain identity layers only scatter into the composed
+        # table and alias it away)
+        fwd = mk(src, flat_row, out_row)
+        bwd_h = mk(in_row, rel, in_row)
     else:
         if rc["fwd"]:
             fwd_key = out_blk * R_num + rel
@@ -305,7 +317,7 @@ def build_layer_plans(src, dst, rel, norm, num_nodes: int, k_in: int,
                       k_in=int(k_in), k_out=int(k_out),
                       n_in_rows=int(n_in_rows),
                       n_out_rows=int(n_out_rows),
-                      num_nodes=int(num_nodes))
+                      num_nodes=int(num_nodes), kind=kind)
 
 
 def _pad_stream(s: Stream, E_pad: int, nslab: int) -> Stream:
@@ -391,7 +403,7 @@ def shard_layer_plans(src, dst, rel, norm, num_nodes: int, k_in: int,
                       n_in_rows=first.n_in_rows,
                       n_out_rows=first.n_out_rows,
                       num_nodes=first.num_nodes,
-                      num_shards=num_shards)
+                      num_shards=num_shards, kind=kind)
 
 
 def unstack_plan(plan: LayerPlans) -> LayerPlans:
@@ -403,23 +415,47 @@ def unstack_plan(plan: LayerPlans) -> LayerPlans:
     return stripped.replace(num_shards=1)
 
 
+def composed_table_elems(num_relations: int, num_nodes: int,
+                         out_dim: int, row_block: int = ROW_BLOCK) -> int:
+    """Element count of the composed relation-major identity table the
+    planned featureless op gathers from — used by the model AND the plan
+    builder to agree on when that table is too big to materialise
+    (2^29 f32 = 2 GiB) and the basis-stream variant should run instead."""
+    from mrgcn_tpu.ops.rspmm import packed_identity_shape, packing_factor
+    k = packing_factor(out_dim)
+    lanes = packed_identity_shape(1, num_nodes, out_dim)[0][2]
+    return num_relations * _pad_rows(num_nodes, k, row_block) * lanes
+
+
+COMPOSED_TABLE_MAX_ELEMS = 2 ** 29   # 2 GiB f32
+# the basis-stream featureless op gathers B tables per edge; past this the
+# per-edge traffic beats the one composed-table gather it avoids
+MAX_BASIS_STREAMS = 4
+
+
 def plans_for_layers(src, dst, rel, norm, num_nodes: int, layer_shapes,
                      row_block: int = ROW_BLOCK,
-                     edge_block: int = EDGE_BLOCK) -> dict:
+                     edge_block: int = EDGE_BLOCK,
+                     identity_basis: bool = False) -> dict:
     """One :class:`LayerPlans` per distinct (k_in, k_out) pair, keyed
     ``"kin:kout"``. ``layer_shapes``: iterable of (in_width, out_width);
     ``in_width=None`` marks the featureless/identity gather (k_in ==
     k_out). Plans depend only on the packing factors, so layers of equal
-    widths share."""
+    widths share. ``identity_basis=True`` builds the featureless plans
+    with a real dst-sorted bwd_h stream (key suffix ``:idb``) for
+    :func:`featureless_basis` — used when the composed table would not
+    fit HBM (see :func:`composed_table_elems`)."""
     from mrgcn_tpu.ops.rspmm import packing_factor
+    id_kind = "identity_basis" if identity_basis else "identity"
+    id_key = "idb" if identity_basis else "id"
     pairs = set()
     for in_w, out_w in layer_shapes:
         k_out = packing_factor(int(out_w))
         if in_w is None:               # featureless/identity gather
-            pairs.add((k_out, k_out, "identity"))
+            pairs.add((k_out, k_out, id_kind))
         else:
             pairs.add((packing_factor(int(in_w)), k_out, "dense"))
-    return {f"{ki}:{ko}:id" if kind == "identity" else f"{ki}:{ko}":
+    return {f"{ki}:{ko}:{id_key}" if kind == id_kind else f"{ki}:{ko}":
             build_layer_plans(src, dst, rel, norm, num_nodes, ki, ko,
                               row_block=row_block, edge_block=edge_block,
                               kind=kind)
@@ -610,6 +646,87 @@ def _featureless_composed_bwd(out_dim, interpret, res, d_out):
 
 featureless_composed.defvjp(_featureless_composed_fwd,
                             _featureless_composed_bwd)
+
+
+# --------------------------------------------------------------------------
+# basis-stream featureless layer: compose per edge, never build the table
+# --------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def featureless_basis(comp: jnp.ndarray, packed: jnp.ndarray,
+                      plans: LayerPlans, out_dim: int,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Featureless layer for graphs whose composed identity table does not
+    fit HBM (e.g. LP: R=475, 200-lane rows -> ~7 GB): gather the B basis
+    tables per edge on the src-sorted stream, contract with ``comp[rel_e]``
+    on the VPU, and block-scatter — the sorted-stream engine without ever
+    materialising the (R * rows, L) table. Needs ``plans`` built with
+    ``kind="identity_basis"`` (real dst-sorted bwd_h stream).
+
+    ``comp``: (R, B) with small B (:data:`MAX_BASIS_STREAMS`);
+    ``packed``: (B, n_in_rows, L). Returns (num_nodes, out_dim).
+
+    Backward (all stream ops, no giant intermediates):
+      * ``d_comp[r, b] = sum_e norm_e <d_out[src_e], packed[b, dst_e]>``
+        — per-slab lane-reduces on the (rel, dst)-sorted bwd_table stream
+        (slabs are relation-constant), segment-summed over slab_rel;
+      * ``d_packed[b] += comp[rel_e, b] norm_e d_out[src_e]`` — B
+        block-scatters on the dst-sorted bwd_h stream.
+    """
+    f = plans.fwd
+    k = plans.k_in
+    B = comp.shape[1]
+    w = comp[f.rel]                                     # (E, B)
+    v = 0.0
+    for b in range(B):
+        g = _gather_sub(packed[b], f.gather_row, f.in_mod, k, out_dim)
+        v = v + w[:, b:b + 1] * g                       # (E, out_dim)
+    out = _place_scatter(v, f.out_mod, f, plans.n_out_rows, plans.k_out,
+                         out_dim, packed.shape[2], interpret)
+    return unpack_rows(out, plans.k_out, plans.num_nodes, out_dim)
+
+
+def _featureless_basis_fwd(comp, packed, plans, out_dim, interpret):
+    out = featureless_basis(comp, packed, plans, out_dim, interpret)
+    return out, (comp, packed, plans)
+
+
+def _featureless_basis_bwd(out_dim, interpret, res, d_out):
+    comp, packed, plans = res
+    B = comp.shape[1]
+    k = plans.k_in
+    d_out_p = pack_rows(d_out, plans.k_out, plans.n_out_rows)
+
+    # ---- d_comp on the (rel, dst)-sorted stream: slabs are rel-constant
+    t = plans.bwd_table
+    eb, nslab = t.edge_block, t.num_slabs
+    d_vt = _gather_sub(d_out_p, t.src_row, t.out_mod, plans.k_out,
+                       out_dim) * t.norm[:, None]       # (E, out)
+    cols = []
+    for b in range(B):
+        g_t = _gather_sub(packed[b], t.gather_row, t.in_mod, k, out_dim)
+        cols.append(jnp.sum(d_vt * g_t, axis=1)
+                    .reshape(nslab, eb).sum(axis=1))    # (nslab,)
+    per_slab = jnp.stack(cols, axis=1)                  # (nslab, B)
+    d_comp = jax.ops.segment_sum(per_slab, t.slab_rel,
+                                 num_segments=comp.shape[0])
+
+    # ---- d_packed on the dst-sorted stream: B block-scatters
+    h = plans.bwd_h
+    d_vh = _gather_sub(d_out_p, h.src_row, h.out_mod, plans.k_out,
+                       out_dim)                         # (E, out), no norm
+    w_h = comp[h.rel]                                   # (E, B)
+    planes = []
+    for b in range(B):
+        planes.append(_place_scatter(
+            d_vh * w_h[:, b:b + 1], h.in_mod, h, plans.n_in_rows,
+            k, out_dim, packed.shape[2], interpret))
+    d_packed = jnp.stack(planes, axis=0)                # (B, rows, L)
+    return (d_comp.astype(comp.dtype), d_packed.astype(packed.dtype),
+            None)
+
+
+featureless_basis.defvjp(_featureless_basis_fwd, _featureless_basis_bwd)
 
 
 # --------------------------------------------------------------------------

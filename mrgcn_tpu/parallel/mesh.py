@@ -116,7 +116,7 @@ def shard_plans(mesh: Mesh, inputs) -> Optional[Dict]:
     spec = NamedSharding(mesh, P("data"))
     out = {}
     for key, pl in old.items():
-        kind = "identity" if key.endswith(":id") else "dense"
+        kind = pl.kind
         sharded = rl.shard_layer_plans(
             st.src, st.dst, st.rel, st.norm, st.num_nodes,
             pl.k_in, pl.k_out, data_size, kind=kind)

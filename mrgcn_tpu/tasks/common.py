@@ -116,9 +116,18 @@ def prepare_inputs(artifact: Artifact, config: Dict,
         if not featureless and X_width > 0:
             shapes.append((X_width, dims[0]))
         shapes.extend((dims[i - 1], dims[i]) for i in range(1, len(dims)))
+        # when the composed identity table would not fit HBM and the basis
+        # count is stream-friendly, build the identity plans with the
+        # dst-sorted bwd_h stream featureless_basis needs (key ":idb")
+        num_bases = int(config["model"]["num_bases"])
+        R = structure.num_relations
+        basis = (os.environ.get("MRGCN_BASIS_STREAM", "1") != "0"
+                 and 0 < num_bases <= rl.MAX_BASIS_STREAMS
+                 and rl.composed_table_elems(R, n, dims[0])
+                 > rl.COMPOSED_TABLE_MAX_ELEMS)
         plans = rl.plans_for_layers(structure.src, structure.dst,
                                     structure.rel, structure.norm, n,
-                                    shapes)
+                                    shapes, identity_basis=basis)
 
     edges = EdgeBlock(plans=plans,
                       src=jnp.asarray(structure.src),

@@ -159,6 +159,54 @@ def test_featureless_composed_fused_bwd(monkeypatch, interpret):
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("out_dim,interpret", [(16, False), (200, False),
+                                               (16, True)])
+def test_featureless_basis_fwd_and_grad(monkeypatch, out_dim, interpret):
+    """featureless_basis (per-edge compose over B basis tables, never
+    materialising the (R*rows, L) table) matches the composed chain,
+    forward and gradients, for packed (k=8) and wide (k=1) layouts."""
+    src, dst, rel, norm, n, R, E = random_graph(
+        seed=11, **({"n": 24, "E": 80, "R": 4} if interpret else {}))
+    rng = np.random.default_rng(12)
+    B = 3
+    k = rspmm.packing_factor(out_dim)
+    rb = 8 if interpret else 16
+    plans = rl.build_layer_plans(src, dst, rel, norm, n, k, k,
+                                 row_block=rb, edge_block=8,
+                                 kind="identity_basis")
+    assert plans.kind == "identity_basis"
+    lw = rl.line_width(k, out_dim)
+    comp = jnp.asarray(rng.standard_normal((R, B)).astype(np.float32))
+    packed = jnp.asarray(rng.standard_normal(
+        (B, plans.n_in_rows, lw)).astype(np.float32))
+    cot = jnp.asarray(rng.standard_normal((n, out_dim)).astype(np.float32))
+
+    def loss_basis(c, p):
+        return jnp.vdot(rl.featureless_basis(c, p, plans, out_dim,
+                                             interpret), cot)
+
+    def loss_chain(c, p):
+        # oracle: compose the full table, aggregate on the same streams
+        # (identity_basis fwd/bwd_table match plain identity plans)
+        flat = rspmm.compose_packed(c, p).reshape(-1, lw)
+        return jnp.vdot(rl.featureless_aggregate(flat, plans, out_dim,
+                                                 False), cot)
+
+    flat = rspmm.compose_packed(comp, packed).reshape(-1, lw)
+    out_c = rl.featureless_aggregate(flat, plans, out_dim, False)
+    g_c = jax.grad(loss_chain, argnums=(0, 1))(comp, packed)
+
+    if interpret:
+        monkeypatch.setenv("MRGCN_FORCE_PALLAS_GATHER", "1")
+    out_b = rl.featureless_basis(comp, packed, plans, out_dim, interpret)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_c),
+                               rtol=2e-5, atol=2e-5)
+    g_b = jax.grad(loss_basis, argnums=(0, 1))(comp, packed)
+    for a, b in zip(g_b, g_c):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)
+
+
 def test_pallas_interpret_parity(monkeypatch):
     """The Pallas scatter/gather kernels (interpret mode) reproduce the XLA
     fallback bit-for-bit paths within f32 matmul tolerance."""
@@ -217,6 +265,45 @@ def test_sorted_scatter_basics(monkeypatch):
                            interpret=True)
     np.testing.assert_allclose(np.asarray(got_p), want, rtol=1e-5,
                                atol=1e-5)
+
+
+def test_rgcn_model_basis_path_parity(monkeypatch):
+    """With the composed-table budget forced to zero, the model routes the
+    featureless input layer through featureless_basis (``:idb`` plans) —
+    outputs and grads must match the unplanned path."""
+    import optax
+    from mrgcn_tpu.models.rgcn import RGCN, EdgeBlock
+
+    src, dst, rel, norm, n, R, E = random_graph(seed=23)
+    monkeypatch.setattr(rl, "COMPOSED_TABLE_MAX_ELEMS", 1)
+    plans = rl.plans_for_layers(src, dst, rel, norm, n,
+                                [(None, 16), (16, 5)],
+                                row_block=16, edge_block=8,
+                                identity_basis=True)
+    assert "8:8:idb" in plans
+    base = dict(src=jnp.asarray(src), dst=jnp.asarray(dst),
+                rel=jnp.asarray(rel), norm=jnp.asarray(norm), num_out=n)
+    edges_plain = EdgeBlock(**base)
+    edges_plan = EdgeBlock(**base, plans=plans)
+
+    model = RGCN(hidden_dims=(16, 5), num_relations=R, num_nodes=n,
+                 num_bases=3, featureless=True)
+    params = model.init(jax.random.PRNGKey(0), None, edges_plain)["params"]
+    labels = jnp.asarray(
+        np.random.default_rng(5).integers(0, 5, n).astype(np.int32))
+
+    def loss(p, e):
+        out = model.apply({"params": p}, None, e)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            out, labels).mean()
+
+    l1, g1 = jax.value_and_grad(loss)(params, edges_plain)
+    l2, g2 = jax.value_and_grad(loss)(params, edges_plan)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
 
 
 def test_rgcn_model_planned_parity():

@@ -12,7 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from mrgcn_tpu.models.rgcn import (_dense_planned_sharded,
+from mrgcn_tpu.models.rgcn import (_basis_planned, _basis_planned_sharded,
+                                   _dense_planned_sharded,
                                    _identity_planned,
                                    _identity_planned_sharded)
 from mrgcn_tpu.ops import relational as rl
@@ -132,6 +133,40 @@ def test_dense_sharded_matches_single(mesh):
 
     g1 = jax.grad(loss1, argnums=(0, 1))(H, W)
     g8 = jax.grad(loss8, argnums=(0, 1))(H, W)
+    for a, b in zip(g8, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_basis_sharded_matches_single(mesh):
+    """featureless_basis under shard_map (the LP-scale featureless path
+    when the composed table cannot be materialised) == single device."""
+    src, dst, rel, norm, n, R = _graph(seed=9)
+    B, out = 3, 16
+    plan1 = rl.build_layer_plans(src, dst, rel, norm, n, 8, 8,
+                                 kind="identity_basis")
+    plan8 = rl.shard_layer_plans(src, dst, rel, norm, n, 8, 8, 8,
+                                 kind="identity_basis")
+    assert plan8.kind == "identity_basis"
+
+    rng = np.random.default_rng(10)
+    shape, _ = rspmm.packed_identity_shape(B, n, out)
+    packed = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    comp = jnp.asarray(rng.standard_normal((R, B)).astype(np.float32))
+
+    out1 = _basis_planned(packed, comp, plan1, out)
+    out8 = _basis_planned_sharded(packed, comp, plan8, out, mesh)
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out1),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss1(pk, c):
+        return (_basis_planned(pk, c, plan1, out) ** 2).sum()
+
+    def loss8(pk, c):
+        return (_basis_planned_sharded(pk, c, plan8, out, mesh) ** 2).sum()
+
+    g1 = jax.grad(loss1, argnums=(0, 1))(packed, comp)
+    g8 = jax.grad(loss8, argnums=(0, 1))(packed, comp)
     for a, b in zip(g8, g1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)

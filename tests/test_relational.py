@@ -109,17 +109,19 @@ def test_dense_fwd_and_grad(in_dim, out_dim):
                                    rtol=3e-4, atol=3e-4)
 
 
-@pytest.mark.parametrize("interpret", [False, True])
-def test_featureless_composed_fused_bwd(monkeypatch, interpret):
+@pytest.mark.parametrize("interpret,out_dim", [(False, 16), (False, 200),
+                                               (True, 16)])
+def test_featureless_composed_fused_bwd(monkeypatch, interpret, out_dim):
     """featureless_composed (single-pass d_comp/d_packed backward) matches
     the unfused compose_packed -> featureless_aggregate chain, forward and
-    gradients, in both the XLA fallback and Pallas interpret mode."""
+    gradients, in both the XLA fallback and Pallas interpret mode, for
+    packed (k=8, L=128) and wide (k=1, L=256) table layouts."""
     # small graph: interpret-mode pallas is ~1000x slower per op, and the
     # XLA-fallback variant covers the large-shape algebra already
     src, dst, rel, norm, n, R, E = random_graph(
         seed=5, **({"n": 24, "E": 80, "R": 4} if interpret else {}))
     rng = np.random.default_rng(3)
-    out_dim, B = 16, 3
+    B = 3
     k = rspmm.packing_factor(out_dim)
     plans = rl.build_layer_plans(src, dst, rel, norm, n, k, k,
                                  row_block=8 if interpret else 16,

@@ -412,7 +412,7 @@ sorted_scatter.defvjp(_sorted_scatter_fwd, _sorted_scatter_bwd)
 # --------------------------------------------------------------------------
 
 def _compose_grad_kernel(dt_ref, pk_ref, comp_ref, dcomp_ref, dp_ref, *,
-                         rc: int, last: int):
+                         rc: int):
     """Per grid step: one (R, rc, L) chunk of the relation-major d_table.
 
     For every packed row j in the chunk (static unroll):
@@ -486,7 +486,7 @@ def compose_grad_pass(d_t: jnp.ndarray, packed: jnp.ndarray,
         ],
     )
     d_comp, d_packed = pl.pallas_call(
-        partial(_compose_grad_kernel, rc=rc, last=rows // rc - 1),
+        partial(_compose_grad_kernel, rc=rc),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((R, B), jnp.float32),

@@ -257,26 +257,52 @@ def run_script(mod_name: str):
     mod.main()
 
 
+def guarded(label: str, fn, *args):
+    """One failing experiment (e.g. a Mosaic compile error on a kernel
+    first exercised on real hardware here) must not kill the rest of the
+    batch — TPU grants are scarce."""
+    import traceback
+    try:
+        return fn(*args)
+    except Exception:
+        print(f"!!! {label} FAILED:", flush=True)
+        traceback.print_exc()
+        return None
+
+
 def main():
     import jax
     print("devices:", jax.devices(), flush=True)
 
-    run_script("micro_bwd_parts")
-    run_script("micro_compose_bwd_variants")
+    guarded("micro_bwd_parts", run_script, "micro_bwd_parts")
+    guarded("micro_compose_bwd_variants", run_script,
+            "micro_compose_bwd_variants")
 
     print("\n===== fused compose-bwd step =====", flush=True)
-    off = step_time_with_flag("0")
-    print(json.dumps({"step_fused_off_ms": round(off, 3)}), flush=True)
-    on = step_time_with_flag("1")
-    print(json.dumps({"step_fused_on_ms": round(on, 3)}), flush=True)
+    off = guarded("step_fused_off", step_time_with_flag, "0")
+    if off is not None:
+        print(json.dumps({"step_fused_off_ms": round(off, 3)}), flush=True)
+    on = guarded("step_fused_on", step_time_with_flag, "1")
+    if on is not None:
+        print(json.dumps({"step_fused_on_ms": round(on, 3)}), flush=True)
 
-    run_script("micro_multimodal_parts")
+    guarded("micro_multimodal_parts", run_script, "micro_multimodal_parts")
 
     print("\n===== LP step decomposition =====", flush=True)
-    lp_parts()
+    guarded("lp_parts", lp_parts)
 
     print("\n===== LP stream-engine trial =====", flush=True)
-    lp_stream_trial()
+    guarded("lp_stream_trial", lp_stream_trial)
+
+    print("\n===== LP full epoch (basis-stream default) =====", flush=True)
+
+    def _bench_lp():
+        from benchmarks.bench_suite import bench_lp
+        epoch, t_rank = bench_lp()
+        print(json.dumps({"lp_epoch_s": round(float(epoch), 4),
+                          "lp_rank_chunk_s": round(float(t_rank), 5)}),
+              flush=True)
+    guarded("bench_lp", _bench_lp)
 
 
 if __name__ == "__main__":

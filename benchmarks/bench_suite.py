@@ -176,12 +176,10 @@ def bench_lp(steps=5):
     # same plan-kind decision the task driver makes (tasks/common.py):
     # the composed table at R=475 x 200-lane rows would be ~7 GB, so the
     # identity plans carry the basis-stream bwd_h (featureless_basis path)
-    basis = (0 < B <= rl.MAX_BASIS_STREAMS
-             and rl.composed_table_elems(R, n, hidden)
-             > rl.COMPOSED_TABLE_MAX_ELEMS)
-    plans = rl.plans_for_layers(w["src"], w["dst"], w["rel"], w["norm"], n,
-                                [(None, hidden), (hidden, hidden)],
-                                identity_basis=basis)
+    plans = rl.plans_for_layers(
+        w["src"], w["dst"], w["rel"], w["norm"], n,
+        [(None, hidden), (hidden, hidden)],
+        identity_basis=rl.basis_stream_wanted(R, n, hidden, B))
     from mrgcn_tpu.encodings.structure import group_by_relation
     grouping = group_by_relation(w["src"], w["dst"], w["rel"], w["norm"],
                                  n)

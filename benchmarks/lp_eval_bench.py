@@ -39,12 +39,10 @@ def main():
     w = lp_workload()
     n, R = w["n"], w["R"]
     hidden, B = 200, 2
-    basis = (0 < B <= rl.MAX_BASIS_STREAMS
-             and rl.composed_table_elems(R, n, hidden)
-             > rl.COMPOSED_TABLE_MAX_ELEMS)
-    plans = rl.plans_for_layers(w["src"], w["dst"], w["rel"], w["norm"], n,
-                                [(None, hidden), (hidden, hidden)],
-                                identity_basis=basis)
+    plans = rl.plans_for_layers(
+        w["src"], w["dst"], w["rel"], w["norm"], n,
+        [(None, hidden), (hidden, hidden)],
+        identity_basis=rl.basis_stream_wanted(R, n, hidden, B))
     grouping = group_by_relation(w["src"], w["dst"], w["rel"], w["norm"], n)
     edges = EdgeBlock(src=jnp.asarray(w["src"]), dst=jnp.asarray(w["dst"]),
                       rel=jnp.asarray(w["rel"]),

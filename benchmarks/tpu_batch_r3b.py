@@ -23,8 +23,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def step_time_with_flag(fused: str) -> float:
-    """Featureless bench-scale train step time with the fused-bwd flag."""
+    """Featureless bench-scale train step time with the fused-bwd flag.
+    Restores the env var afterwards — a leaked "1" would contaminate every
+    later experiment in the batch with the experimental kernel."""
+    prev = os.environ.get("MRGCN_FUSED_COMPOSE_BWD")
     os.environ["MRGCN_FUSED_COMPOSE_BWD"] = fused
+    try:
+        return _step_time()
+    finally:
+        if prev is None:
+            os.environ.pop("MRGCN_FUSED_COMPOSE_BWD", None)
+        else:
+            os.environ["MRGCN_FUSED_COMPOSE_BWD"] = prev
+
+
+def _step_time() -> float:
     import jax
     import jax.numpy as jnp
     import optax

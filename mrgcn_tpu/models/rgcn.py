@@ -84,25 +84,29 @@ class EdgeBlock:
         return self.group_rel is not None
 
 
+def _fit_rows(packed, plan):
+    """Slice or pad a (S, rows, lanes) packed weight to the plan's padded
+    row count. Parameters are stored ALREADY padded to the engine's
+    table-block multiples (rspmm.packed_identity_shape) — an in-program
+    ``jnp.pad`` of the full tensor measured at >1 s/step on a v5e; the
+    slice/pad here only triggers for tests running smaller plan row
+    blocks, and the sliced-away padding rows are all zero and never
+    addressed."""
+    n_rows = packed.shape[1]
+    if n_rows > plan.n_in_rows:
+        return packed[:, :plan.n_in_rows, :]
+    if n_rows < plan.n_in_rows:
+        return jnp.pad(packed, ((0, 0), (0, plan.n_in_rows - n_rows),
+                                (0, 0)))
+    return packed
+
+
 def _identity_planned(packed, comp, plan, out_dim):
     """Featureless input layer on the sorted-stream engine: compose the
-    relation-major packed table (one matmul) and hand it to the layer op.
-
-    ``packed``: (S, rows, lanes) stored ALREADY padded to the engine's
-    table-block multiples (rspmm.packed_identity_shape) — an in-program
-    ``jnp.pad`` of this tensor measured at >1 s/step on a v5e. A slice (for
-    tests running smaller plan row blocks) is cheap; the sliced-away
-    padding rows are all zero and never addressed.
-    """
+    relation-major packed table (one matmul) and hand it to the layer op."""
     from mrgcn_tpu.ops import relational as rl
-    S, n_rows, lw = packed.shape
-    if n_rows > plan.n_in_rows:
-        pk = packed[:, :plan.n_in_rows, :]
-    elif n_rows < plan.n_in_rows:
-        pk = jnp.pad(packed, ((0, 0), (0, plan.n_in_rows - n_rows),
-                              (0, 0)))
-    else:
-        pk = packed
+    lw = packed.shape[2]
+    pk = _fit_rows(packed, plan)
     if comp is not None:
         import os
         if os.environ.get("MRGCN_FUSED_COMPOSE_BWD", "0") != "0":
@@ -125,15 +129,15 @@ def _shard_specs(n: int):
     return tuple(P() for _ in range(n)) + (P("data"),), P()
 
 
-def _identity_planned_sharded(packed, comp, plan, out_dim, mesh):
+def _planned_sharded(layer_fn, packed, comp, plan, out_dim, mesh):
     """Featureless planned layer under a device mesh: every chip runs the
-    single-chip engine on its shard of the edge streams (keeping the
-    Pallas fast path alive under GSPMD — round-2 dropped to the slow XLA
-    paths here) and the partial aggregates psum over ICI."""
+    single-chip engine (``layer_fn``) on its shard of the edge streams
+    (keeping the Pallas fast path alive under GSPMD — round-2 dropped to
+    the slow XLA paths here) and the partial aggregates psum over ICI."""
     from mrgcn_tpu.ops import relational as rl
 
     def local(pk, c, pl):
-        out = _identity_planned(pk, c, rl.unstack_plan(pl), out_dim)
+        out = layer_fn(pk, c, rl.unstack_plan(pl), out_dim)
         return jax.lax.psum(out, "data")
 
     # check_vma=False: the engine's custom_vjp kernels block variance
@@ -145,32 +149,22 @@ def _identity_planned_sharded(packed, comp, plan, out_dim, mesh):
                          check_vma=False)(packed, comp, plan)
 
 
+def _identity_planned_sharded(packed, comp, plan, out_dim, mesh):
+    return _planned_sharded(_identity_planned, packed, comp, plan,
+                            out_dim, mesh)
+
+
 def _basis_planned(packed, comp, plan, out_dim):
     """Featureless basis-stream layer (ops/relational.featureless_basis):
     the composed table would not fit HBM, so compose happens per edge."""
     from mrgcn_tpu.ops import relational as rl
-    n_rows = packed.shape[1]
-    if n_rows > plan.n_in_rows:
-        pk = packed[:, :plan.n_in_rows, :]
-    elif n_rows < plan.n_in_rows:
-        pk = jnp.pad(packed, ((0, 0), (0, plan.n_in_rows - n_rows),
-                              (0, 0)))
-    else:
-        pk = packed
-    return rl.featureless_basis(comp, pk, plan, out_dim)
+    return rl.featureless_basis(comp, _fit_rows(packed, plan), plan,
+                                out_dim)
 
 
 def _basis_planned_sharded(packed, comp, plan, out_dim, mesh):
-    from mrgcn_tpu.ops import relational as rl
-
-    def local(pk, c, pl):
-        out = _basis_planned(pk, c, rl.unstack_plan(pl), out_dim)
-        return jax.lax.psum(out, "data")
-
-    in_specs, out_spec = _shard_specs(2)
-    return jax.shard_map(local, mesh=mesh, in_specs=in_specs,
-                         out_specs=out_spec,
-                         check_vma=False)(packed, comp, plan)
+    return _planned_sharded(_basis_planned, packed, comp, plan, out_dim,
+                            mesh)
 
 
 def _dense_planned_sharded(H, W, plan, in_dim, out_dim, mesh):
@@ -243,9 +237,9 @@ class RGCNLayer(nn.Module):
                 # the plans carry its dst-sorted bwd_h stream, else fall
                 # back to the fused-basis XLA path
                 from mrgcn_tpu.ops import relational as rl
-                lanes = rspmm.packed_identity_shape(
-                    S, self.num_nodes, self.out_dim)[0][2]
-                table_elems = self.num_relations * plan_i.n_in_rows * lanes
+                table_elems = rl.composed_table_elems(
+                    self.num_relations, self.num_nodes, self.out_dim,
+                    n_in_rows=plan_i.n_in_rows)
                 if table_elems > rl.COMPOSED_TABLE_MAX_ELEMS:
                     if plan_i.kind == "identity_basis" \
                             and 0 < self.num_bases <= rl.MAX_BASIS_STREAMS:

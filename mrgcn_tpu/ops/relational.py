@@ -416,21 +416,38 @@ def unstack_plan(plan: LayerPlans) -> LayerPlans:
 
 
 def composed_table_elems(num_relations: int, num_nodes: int,
-                         out_dim: int, row_block: int = ROW_BLOCK) -> int:
+                         out_dim: int, row_block: int = ROW_BLOCK,
+                         n_in_rows: Optional[int] = None) -> int:
     """Element count of the composed relation-major identity table the
     planned featureless op gathers from — used by the model AND the plan
     builder to agree on when that table is too big to materialise
-    (2^29 f32 = 2 GiB) and the basis-stream variant should run instead."""
+    (2^29 f32 = 2 GiB) and the basis-stream variant should run instead.
+    ``n_in_rows`` overrides the padded row count when the caller already
+    holds a plan (whose row_block may differ from the default)."""
     from mrgcn_tpu.ops.rspmm import packed_identity_shape, packing_factor
     k = packing_factor(out_dim)
     lanes = packed_identity_shape(1, num_nodes, out_dim)[0][2]
-    return num_relations * _pad_rows(num_nodes, k, row_block) * lanes
+    rows = _pad_rows(num_nodes, k, row_block) if n_in_rows is None \
+        else n_in_rows
+    return num_relations * rows * lanes
 
 
 COMPOSED_TABLE_MAX_ELEMS = 2 ** 29   # 2 GiB f32
 # the basis-stream featureless op gathers B tables per edge; past this the
 # per-edge traffic beats the one composed-table gather it avoids
 MAX_BASIS_STREAMS = 4
+
+
+def basis_stream_wanted(num_relations: int, num_nodes: int, out_dim: int,
+                        num_bases: int) -> bool:
+    """THE plan-build decision for the featureless input layer: build the
+    ``identity_basis`` streams (featureless_basis) when the composed table
+    would not fit the budget and the basis count is stream-friendly.
+    ``MRGCN_BASIS_STREAM=0`` reverts to the fused-basis XLA fallback."""
+    return (os.environ.get("MRGCN_BASIS_STREAM", "1") != "0"
+            and 0 < num_bases <= MAX_BASIS_STREAMS
+            and composed_table_elems(num_relations, num_nodes, out_dim)
+            > COMPOSED_TABLE_MAX_ELEMS)
 
 
 def plans_for_layers(src, dst, rel, norm, num_nodes: int, layer_shapes,
@@ -673,6 +690,9 @@ def featureless_basis(comp: jnp.ndarray, packed: jnp.ndarray,
       * ``d_packed[b] += comp[rel_e, b] norm_e d_out[src_e]`` — B
         block-scatters on the dst-sorted bwd_h stream.
     """
+    assert plans.kind == "identity_basis", \
+        "featureless_basis needs identity_basis plans (plain identity " \
+        "plans alias bwd_h to the fwd stream -> silently wrong d_packed)"
     f = plans.fwd
     k = plans.k_in
     B = comp.shape[1]

@@ -120,11 +120,8 @@ def prepare_inputs(artifact: Artifact, config: Dict,
         # count is stream-friendly, build the identity plans with the
         # dst-sorted bwd_h stream featureless_basis needs (key ":idb")
         num_bases = int(config["model"]["num_bases"])
-        R = structure.num_relations
-        basis = (os.environ.get("MRGCN_BASIS_STREAM", "1") != "0"
-                 and 0 < num_bases <= rl.MAX_BASIS_STREAMS
-                 and rl.composed_table_elems(R, n, dims[0])
-                 > rl.COMPOSED_TABLE_MAX_ELEMS)
+        basis = rl.basis_stream_wanted(structure.num_relations, n,
+                                       dims[0], num_bases)
         plans = rl.plans_for_layers(structure.src, structure.dst,
                                     structure.rel, structure.norm, n,
                                     shapes, identity_basis=basis)

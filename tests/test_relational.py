@@ -269,6 +269,40 @@ def test_sorted_scatter_basics(monkeypatch):
                                atol=1e-5)
 
 
+def test_rgcn_model_fused_compose_flag_parity(monkeypatch):
+    """MRGCN_FUSED_COMPOSE_BWD=1 routes _identity_planned through
+    featureless_composed — model loss and grads must match the default."""
+    import optax
+    from mrgcn_tpu.models.rgcn import RGCN, EdgeBlock
+
+    src, dst, rel, norm, n, R, E = random_graph(seed=29)
+    plans = rl.plans_for_layers(src, dst, rel, norm, n, [(None, 16)],
+                                row_block=16, edge_block=8)
+    edges = EdgeBlock(src=jnp.asarray(src), dst=jnp.asarray(dst),
+                      rel=jnp.asarray(rel), norm=jnp.asarray(norm),
+                      num_out=n, plans=plans)
+    model = RGCN(hidden_dims=(16,), num_relations=R, num_nodes=n,
+                 num_bases=3, featureless=True)
+    params = model.init(jax.random.PRNGKey(0), None, edges)["params"]
+    labels = jnp.asarray(
+        np.random.default_rng(7).integers(0, 16, n).astype(np.int32))
+
+    def loss(p):
+        out = model.apply({"params": p}, None, edges)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            out, labels).mean()
+
+    monkeypatch.delenv("MRGCN_FUSED_COMPOSE_BWD", raising=False)
+    l0, g0 = jax.value_and_grad(loss)(params)
+    monkeypatch.setenv("MRGCN_FUSED_COMPOSE_BWD", "1")
+    l1, g1 = jax.value_and_grad(loss)(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_rgcn_model_basis_path_parity(monkeypatch):
     """With the composed-table budget forced to zero, the model routes the
     featureless input layer through featureless_basis (``:idb`` plans) —

@@ -117,7 +117,41 @@ def run_jax_epochs(w, steps: int = 10) -> float:
     return float((np.median(tks) - np.median(t1s)) / steps)
 
 
+def _backend_or_die() -> None:
+    """Fail loudly when the axon tunnel is down instead of hanging forever.
+
+    PJRT init on a dead tunnel blocks indefinitely (observed >20 min,
+    SIGTERM-immune) at "Initializing backend 'axon'". Probe the backend in
+    a daemon thread with a bounded wait (MRGCN_BENCH_INIT_TIMEOUT seconds,
+    default 900) and emit the JSON result line with an error marker on
+    timeout, so the driver records a failed measurement rather than a
+    stalled process."""
+    import threading
+
+    done = threading.Event()
+
+    def probe():
+        import jax
+        jax.devices()
+        done.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    budget = float(os.environ.get("MRGCN_BENCH_INIT_TIMEOUT", "900"))
+    if not done.wait(budget):
+        print(json.dumps({
+            "metric": "dmg_scale_rgcn_epoch_time",
+            "value": -1.0,
+            "unit": "s",
+            "vs_baseline": -1.0,
+            "error": f"device backend failed to initialise within "
+                     f"{budget:.0f}s (axon tunnel down?)",
+        }), flush=True)
+        os._exit(2)
+
+
 def main() -> int:
+    _backend_or_die()
     w = build_workload()
     ours_s = run_jax_epochs(w)
 

@@ -146,7 +146,7 @@ def main():
 
     report("grouped_fwd_ms", per_iter_time(grouped_loss, H, iters=10))
     report("grouped_fwd_bwd_ms", per_iter_time(
-        lambda h: jax.value_and_grad(grouped_loss)(h)[0], H, iters=10))
+        lambda h: jax.value_and_grad(grouped_loss)(h), H, iters=10))
 
     print("FINAL_L2 " + json.dumps(results), flush=True)
 

@@ -11,6 +11,14 @@ forces a true data dependency between iterations (no hoisting, no dead
 code), fetch a scalar, and compare against the 1-iteration run:
 
     per_iter = (t(K) - t(1)) / (K - 1)
+
+CALLER FOOT-GUN: only the op's *returned* leaves are forced. An op like
+``lambda x: jax.value_and_grad(f)(x)[0]`` returns just the loss, so XLA
+dead-code-eliminates the whole backward pass (except opaque Pallas
+custom_calls) and the measurement silently collapses to forward-only —
+return the full ``(value, grad)`` tuple instead. (This bug invalidated
+the first FINAL_LP fwd_bwd numbers in round 3; the tell is
+fwd_bwd == fwd.)
 """
 
 from __future__ import annotations

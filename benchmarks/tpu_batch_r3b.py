@@ -136,7 +136,7 @@ def lp_parts():
     report("lp_embed_fwd_ms", per_iter_time(
         lambda p: embed_loss(p), params, iters=10))
     report("lp_embed_fwd_bwd_ms", per_iter_time(
-        lambda p: jax.value_and_grad(embed_loss)(p)[0], params, iters=10))
+        lambda p: jax.value_and_grad(embed_loss)(p), params, iters=10))
 
     # layer-1 featureless identity gather alone (fused-basis path: the
     # planned table at R=475 x 200 lanes would be ~7 GB, so the model
@@ -153,7 +153,7 @@ def lp_parts():
 
     report("lp_layer1_fwd_ms", per_iter_time(l1_loss, wi, iters=10))
     report("lp_layer1_fwd_bwd_ms", per_iter_time(
-        lambda v: jax.value_and_grad(l1_loss)(v)[0], wi, iters=10))
+        lambda v: jax.value_and_grad(l1_loss)(v), wi, iters=10))
 
     # layer-1 on the basis-stream engine (featureless_basis, :idb plans)
     if comp_i is not None:
@@ -170,7 +170,7 @@ def lp_parts():
         report("lp_layer1_basis_fwd_ms", per_iter_time(
             l1_basis_loss, wi_rows, iters=10))
         report("lp_layer1_basis_fwd_bwd_ms", per_iter_time(
-            lambda v: jax.value_and_grad(l1_basis_loss)(v)[0], wi_rows,
+            lambda v: jax.value_and_grad(l1_basis_loss)(v), wi_rows,
             iters=10))
 
     # layer-2 grouped dense aggregation alone
@@ -186,7 +186,7 @@ def lp_parts():
 
     report("lp_layer2_fwd_ms", per_iter_time(l2_loss, H, iters=10))
     report("lp_layer2_fwd_bwd_ms", per_iter_time(
-        lambda h: jax.value_and_grad(l2_loss)(h)[0], H, iters=10))
+        lambda h: jax.value_and_grad(l2_loss)(h), H, iters=10))
 
     # DistMult scoring + BCE on fixed embeddings
     emb = jnp.asarray(np.random.default_rng(2).standard_normal(
@@ -200,7 +200,7 @@ def lp_parts():
 
     report("lp_score_fwd_ms", per_iter_time(score_loss, emb, iters=10))
     report("lp_score_fwd_bwd_ms", per_iter_time(
-        lambda e: jax.value_and_grad(score_loss)(e)[0], emb, iters=10))
+        lambda e: jax.value_and_grad(score_loss)(e), emb, iters=10))
 
     print("FINAL_LP " + json.dumps(results), flush=True)
 
@@ -243,7 +243,7 @@ def lp_stream_trial():
         return jnp.sum(out ** 2)
 
     report("grouped_fwd_bwd_ms", per_iter_time(
-        lambda h: jax.value_and_grad(grouped_loss)(h)[0], H, iters=10))
+        lambda h: jax.value_and_grad(grouped_loss)(h), H, iters=10))
 
     for eb in (64, 128, 256):
         plans = rl.build_layer_plans(
@@ -259,7 +259,7 @@ def lp_stream_trial():
             return jnp.sum(out ** 2)
 
         report(f"stream_eb{eb}_fwd_bwd_ms", per_iter_time(
-            lambda h: jax.value_and_grad(stream_loss)(h)[0], H, iters=10))
+            lambda h: jax.value_and_grad(stream_loss)(h), H, iters=10))
 
     print("FINAL_LP_STREAM " + json.dumps(results), flush=True)
 

@@ -245,7 +245,10 @@ def lp_stream_trial():
     report("grouped_fwd_bwd_ms", per_iter_time(
         lambda h: jax.value_and_grad(grouped_loss)(h), H, iters=10))
 
-    for eb in (64, 128, 256):
+    # eb=256 pads to 3.5M edges whose plan arrays overflow the axon
+    # remote-compile request (HTTP 413), and eb64/eb128 already lose to
+    # the grouped path by ~7x -- no information in the larger block.
+    for eb in (64, 128):
         plans = rl.build_layer_plans(
             w["src"], w["dst"], w["rel"], w["norm"], n, 1, 1,
             edge_block=eb, kind="dense",

@@ -60,6 +60,29 @@ def run_jax_epochs(w, steps: int = 10) -> float:
                       group_size=grouping.group_size,
                       plans=plans)
 
+    # restricted output layer — the NC driver's default full-batch path
+    # (tasks/common.output_edge_block): the final aggregation runs only at
+    # the 10k labelled nodes; loss and gradients are identical because
+    # unlabelled logits receive zero cotangent. MRGCN_RESTRICT_OUT=0
+    # reverts to the full-output program for comparison.
+    labels_idx_np = np.asarray(w["labels_idx"])
+    labels_cls_np = np.asarray(w["labels_cls"])
+    if os.environ.get("MRGCN_RESTRICT_OUT", "1") != "0":
+        from types import SimpleNamespace
+
+        from mrgcn_tpu.tasks.common import output_edge_block
+        order = np.argsort(labels_idx_np, kind="stable")
+        labels_idx_np = labels_idx_np[order]
+        labels_cls_np = labels_cls_np[order]
+        structure = SimpleNamespace(src=src_np, dst=dst_np, rel=rel_np,
+                                    norm=norm_np, num_nodes=n)
+        out_block = output_edge_block(structure, labels_idx_np)
+        edges = (edges, out_block)
+        labels_idx = jnp.arange(len(labels_idx_np), dtype=jnp.int32)
+    else:
+        labels_idx = jnp.asarray(labels_idx_np, dtype=jnp.int32)
+    labels_cls = jnp.asarray(labels_cls_np, dtype=jnp.int32)
+
     model = RGCN(hidden_dims=(hidden, C), num_relations=R, num_nodes=n,
                  num_bases=B, featureless=True)
     params = model.init(jax.random.PRNGKey(0), None, edges)["params"]
@@ -67,9 +90,6 @@ def run_jax_epochs(w, steps: int = 10) -> float:
     optimizer = optax.chain(optax.clip_by_global_norm(1.0),
                             optax.adam(0.01))
     opt_state = optimizer.init(params)
-
-    labels_idx = jnp.asarray(w["labels_idx"], dtype=jnp.int32)
-    labels_cls = jnp.asarray(w["labels_cls"], dtype=jnp.int32)
 
     def train_step(params, opt_state):
         def loss_fn(p):

@@ -147,6 +147,50 @@ def prepare_inputs(artifact: Artifact, config: Dict,
                      structure=structure)
 
 
+def output_edge_block(structure, out_nodes: np.ndarray,
+                      group_size: int = 64) -> EdgeBlock:
+    """EdgeBlock computing the final layer's aggregation ONLY at
+    ``out_nodes`` (sorted unique global node ids).
+
+    Full-batch NC loss reads logits at labelled nodes alone, yet the
+    reference materialises the output layer for every node
+    (reference: node_classification.py:229-310 picks rows after a full
+    forward). Restricting the output layer's edge set to edges whose
+    target is labelled keeps the gradients bit-comparable (the dropped
+    outputs receive zero cotangent either way) while cutting the layer's
+    edge traffic by ``n / len(out_nodes)`` — the bench-scale output layer
+    was a third of the train step (benchmarks/micro_layer2_parts.py).
+
+    Per-edge norms are unchanged: D^-1 is a property of each output
+    node's in-degree, which restriction does not alter. ``group_size=64``
+    matches the mini-batch sampler's choice (padding halves vs 128 and
+    the matmuls are sub-millisecond at restricted scale).
+    """
+    from mrgcn_tpu.encodings.structure import group_by_relation
+
+    out_nodes = np.asarray(out_nodes)
+    src = np.asarray(structure.src)
+    keep_pos = np.searchsorted(out_nodes, src)
+    keep_pos = np.minimum(keep_pos, len(out_nodes) - 1)
+    keep = out_nodes[keep_pos] == src
+    src_local = keep_pos[keep].astype(np.int32)
+    dst = np.asarray(structure.dst)[keep].astype(np.int32)
+    rel = np.asarray(structure.rel)[keep].astype(np.int32)
+    norm = np.asarray(structure.norm)[keep].astype(np.float32)
+
+    num_out = int(len(out_nodes))
+    grouping = group_by_relation(src_local, dst, rel, norm, num_out,
+                                 group_size=group_size)
+    return EdgeBlock(src=jnp.asarray(src_local), dst=jnp.asarray(dst),
+                     rel=jnp.asarray(rel), norm=jnp.asarray(norm),
+                     num_out=num_out, num_in=structure.num_nodes,
+                     grp_src=jnp.asarray(grouping.src),
+                     grp_dst=jnp.asarray(grouping.dst),
+                     grp_norm=jnp.asarray(grouping.norm),
+                     group_rel=jnp.asarray(grouping.group_rel),
+                     group_size=grouping.group_size)
+
+
 def hidden_dims_from_config(config: Dict, output_dim: Optional[int]
                             ) -> Tuple[int, ...]:
     """Layer widths from ``[[model.layers]]``; the output layer's width is

@@ -116,9 +116,30 @@ def make_batches(inputs: RunInputs, label_rows: np.ndarray, batchsize: int,
     (reference: node_classification.py:127-143, 329-351)."""
     num_samples = label_rows.shape[0]
     if batchsize <= 0 or batchsize >= num_samples:
-        idx, targets, weights = _pad_labels(label_rows[:, 0],
-                                            label_rows[:, 1])
-        return [NCBatch(features=inputs.features, edges=inputs.edges,
+        import os
+        uniq, inverse = np.unique(label_rows[:, 0], return_inverse=True)
+        # restricted output layer: aggregate the final layer only at
+        # labelled nodes (see tasks/common.output_edge_block) — identical
+        # loss/gradients, ~n/len(uniq) less output-layer edge traffic.
+        # Skipped under a mesh (the sharded plans cover the full edge
+        # set), for single-layer models (the input layer needs its own
+        # plans) and when labels cover every node anyway.
+        restrict = (os.environ.get("MRGCN_RESTRICT_OUT", "1") != "0"
+                    and num_layers >= 2
+                    and getattr(inputs.edges, "mesh", None) is None
+                    and inputs.structure is not None
+                    and len(uniq) < inputs.num_nodes)
+        if restrict:
+            from mrgcn_tpu.tasks.common import output_edge_block
+            out_block = output_edge_block(inputs.structure, uniq)
+            edges = tuple([inputs.edges] * (num_layers - 1) + [out_block])
+            idx, targets, weights = _pad_labels(inverse.astype(np.int32),
+                                                label_rows[:, 1])
+        else:
+            edges = inputs.edges
+            idx, targets, weights = _pad_labels(label_rows[:, 0],
+                                                label_rows[:, 1])
+        return [NCBatch(features=inputs.features, edges=edges,
                         idx=idx, targets=targets, weights=weights,
                         num_real=num_samples)]
 

@@ -91,12 +91,25 @@ def bench_multimodal(steps=5):
                       norm=jnp.asarray(w["norm"]), num_out=n, plans=plans)
     model = MRGCN(hidden_dims=(hidden, C), modules_config=modules_config,
                   num_relations=R, num_nodes=n, num_bases=B)
+    labels_np = np.sort(rng.choice(n, 10_000, replace=False)).astype(np.int32)
+    cls_np = rng.integers(0, C, 10_000).astype(np.int32)
+    if os.environ.get("MRGCN_RESTRICT_OUT", "1") != "0":
+        # the NC driver's default full-batch path: the output layer
+        # aggregates only at labelled nodes (tasks/common.output_edge_block)
+        from types import SimpleNamespace
+
+        from mrgcn_tpu.tasks.common import output_edge_block
+        structure = SimpleNamespace(src=w["src"], dst=w["dst"],
+                                    rel=w["rel"], norm=w["norm"],
+                                    num_nodes=n)
+        edges = (edges, output_edge_block(structure, labels_np))
+        labels_idx = jnp.arange(len(labels_np), dtype=jnp.int32)
+    else:
+        labels_idx = jnp.asarray(labels_np)
+    labels_cls = jnp.asarray(cls_np)
+
     variables = model.init(jax.random.PRNGKey(0), feats, edges)
     params, stats = variables["params"], variables.get("batch_stats", {})
-
-    labels_idx = jnp.asarray(rng.choice(n, 10_000, replace=False)
-                             .astype(np.int32))
-    labels_cls = jnp.asarray(rng.integers(0, C, 10_000).astype(np.int32))
     optimizer = optax.chain(optax.clip_by_global_norm(1.0),
                             optax.adam(0.01))
     opt_state = optimizer.init(params)

@@ -60,24 +60,25 @@ def run_jax_epochs(w, steps: int = 10) -> float:
                       group_size=grouping.group_size,
                       plans=plans)
 
-    # restricted output layer — the NC driver's default full-batch path
-    # (tasks/common.output_edge_block): the final aggregation runs only at
-    # the 10k labelled nodes; loss and gradients are identical because
-    # unlabelled logits receive zero cotangent. MRGCN_RESTRICT_OUT=0
-    # reverts to the full-output program for comparison.
+    # frontier-restricted layers — the NC driver's default full-batch path
+    # (tasks/common.restricted_layer_edges): the output layer aggregates
+    # only at the 10k labelled nodes, layer 1 only at their in-neighbour
+    # frontier; loss and gradients are identical because every dropped
+    # row receives zero cotangent. MRGCN_RESTRICT_OUT=0 reverts to the
+    # full program for comparison.
     labels_idx_np = np.asarray(w["labels_idx"])
     labels_cls_np = np.asarray(w["labels_cls"])
     if os.environ.get("MRGCN_RESTRICT_OUT", "1") != "0":
         from types import SimpleNamespace
 
-        from mrgcn_tpu.tasks.common import output_edge_block
+        from mrgcn_tpu.tasks.common import restricted_layer_edges
         order = np.argsort(labels_idx_np, kind="stable")
         labels_idx_np = labels_idx_np[order]
         labels_cls_np = labels_cls_np[order]
         structure = SimpleNamespace(src=src_np, dst=dst_np, rel=rel_np,
                                     norm=norm_np, num_nodes=n)
-        out_block = output_edge_block(structure, labels_idx_np)
-        edges = (edges, out_block)
+        edges = restricted_layer_edges(structure, labels_idx_np, 2, edges,
+                                       first_dim=hidden)
         labels_idx = jnp.arange(len(labels_idx_np), dtype=jnp.int32)
     else:
         labels_idx = jnp.asarray(labels_idx_np, dtype=jnp.int32)

@@ -94,15 +94,17 @@ def bench_multimodal(steps=5):
     labels_np = np.sort(rng.choice(n, 10_000, replace=False)).astype(np.int32)
     cls_np = rng.integers(0, C, 10_000).astype(np.int32)
     if os.environ.get("MRGCN_RESTRICT_OUT", "1") != "0":
-        # the NC driver's default full-batch path: the output layer
-        # aggregates only at labelled nodes (tasks/common.output_edge_block)
+        # the NC driver's default full-batch path: frontier-restricted
+        # layers (tasks/common.restricted_layer_edges)
         from types import SimpleNamespace
 
-        from mrgcn_tpu.tasks.common import output_edge_block
+        from mrgcn_tpu.tasks.common import restricted_layer_edges
         structure = SimpleNamespace(src=w["src"], dst=w["dst"],
                                     rel=w["rel"], norm=w["norm"],
                                     num_nodes=n)
-        edges = (edges, output_edge_block(structure, labels_np))
+        edges = restricted_layer_edges(structure, labels_np, 2, edges,
+                                       first_dim=hidden, X_width=X_width,
+                                       featureless=False)
         labels_idx = jnp.arange(len(labels_np), dtype=jnp.int32)
     else:
         labels_idx = jnp.asarray(labels_np)

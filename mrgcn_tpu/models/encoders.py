@@ -194,7 +194,15 @@ class TextEncoder(nn.Module):
     output_dim: int
     vocab_size: int = 259           # byte tokenizer default
     model_dim: int = 128
-    num_heads: int = 4
+    # single-head default: with model_dim 128 one head gives head_dim 128
+    # (full MXU lanes) while h heads pad every attention matmul 128/(d/h)x.
+    # Measured full-encoder fwd+bwd at N=8k, L=128 on a v5e
+    # (benchmarks/micro_text_bwd_parts.py + tpu_batch_r3f): h1 90.0 ms,
+    # h2 100.5, h4 117.9, h8 151.5. The encoder is our own from-scratch
+    # design (the v3.0 reference wraps a frozen pretrained LM, unavailable
+    # offline), so head count is a free design variable; raise it per
+    # dataset via the module config if quality ever demands it.
+    num_heads: int = 1
     num_layers: int = 2
     p_dropout: float = 0.2
     max_len: int = 512
@@ -217,10 +225,11 @@ class TextEncoder(nn.Module):
     #
     # Measured (benchmarks/micro_text_attn.py, v5e, fwd+bwd): at N=8k
     # L=128, XLA 117 ms vs flash 304 ms; at N=2k L=512, XLA 244 ms vs
-    # flash 640 ms. With this encoder's head dim of 32 the kernel's MXU
-    # tiles are 4x-padded and its grid degenerates to N*h few-block
-    # programs, so flash loses at every measured length — it remains an
-    # explicit opt-in for long-sequence/wide-head configurations.
+    # flash 640 ms (4 heads, head dim 32: MXU tiles 4x-padded). Even at
+    # full 128-lane head dim the short-L grid degenerates to N
+    # single-block programs and flash still loses (h1: 122.8 vs 90.0 ms,
+    # h2: 181.1 vs 100.5 — tpu_batch_r3f) — it remains an explicit
+    # opt-in for long-sequence configurations.
     attn_impl: str = "auto"
     # token embedding: "gather" (nn.Embed-style table lookup) or "one_hot"
     # (embedding matmul). The gather backward is an N*L-row scatter-add

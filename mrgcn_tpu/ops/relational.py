@@ -178,6 +178,19 @@ class LayerPlans:
     # (identity_basis carries a real dst-sorted bwd_h for
     # featureless_basis)
     kind: str = struct.field(pytree_node=False, default="dense")
+    # rectangular layers (frontier-restricted full-batch training): the
+    # output/input row spaces when they differ from ``num_nodes``; 0 means
+    # "same as num_nodes" so legacy constructions stay valid
+    num_out_nodes: int = struct.field(pytree_node=False, default=0)
+    num_in_nodes: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def out_nodes(self) -> int:
+        return self.num_out_nodes or self.num_nodes
+
+    @property
+    def in_nodes(self) -> int:
+        return self.num_in_nodes or self.num_nodes
 
 
 def _pad_rows(num_nodes: int, k: int, row_block: int) -> int:
@@ -215,8 +228,9 @@ def build_layer_plans(src, dst, rel, norm, num_nodes: int, k_in: int,
                       k_out: int, row_block: int = ROW_BLOCK,
                       edge_block: int = EDGE_BLOCK,
                       kind: str = "dense",
-                      rel_const_override: Optional[dict] = None
-                      ) -> LayerPlans:
+                      rel_const_override: Optional[dict] = None,
+                      num_out_nodes: Optional[int] = None,
+                      num_in_nodes: Optional[int] = None) -> LayerPlans:
     """Host-side: the three sorted edge streams for one layer shape.
 
     ``k_in`` = packing factor of the gathered table's logical row width,
@@ -225,14 +239,20 @@ def build_layer_plans(src, dst, rel, norm, num_nodes: int, k_in: int,
     relation-constant layout only helps dense weight application and costs
     padding) and no separate bwd_h stream (featureless backward only
     scatters into the table).
+
+    ``num_out_nodes``/``num_in_nodes`` make the layer rectangular:
+    ``src``/``dst`` then index the restricted output/input row spaces
+    (frontier-restricted full-batch training — see
+    tasks/common.restricted_layer_edges). Defaults keep the square
+    num_nodes x num_nodes layout.
     """
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
     rel = np.asarray(rel, dtype=np.int64)
     norm = np.asarray(norm, dtype=np.float32)
 
-    n_in_rows = _pad_rows(num_nodes, k_in, row_block)
-    n_out_rows = _pad_rows(num_nodes, k_out, row_block)
+    n_in_rows = _pad_rows(num_in_nodes or num_nodes, k_in, row_block)
+    n_out_rows = _pad_rows(num_out_nodes or num_nodes, k_out, row_block)
     in_row = dst // k_in
     out_row = src // k_out
     flat_row = rel * n_in_rows + in_row
@@ -317,7 +337,9 @@ def build_layer_plans(src, dst, rel, norm, num_nodes: int, k_in: int,
                       k_in=int(k_in), k_out=int(k_out),
                       n_in_rows=int(n_in_rows),
                       n_out_rows=int(n_out_rows),
-                      num_nodes=int(num_nodes), kind=kind)
+                      num_nodes=int(num_nodes), kind=kind,
+                      num_out_nodes=int(num_out_nodes or 0),
+                      num_in_nodes=int(num_in_nodes or 0))
 
 
 def _pad_stream(s: Stream, E_pad: int, nslab: int) -> Stream:
@@ -453,7 +475,9 @@ def basis_stream_wanted(num_relations: int, num_nodes: int, out_dim: int,
 def plans_for_layers(src, dst, rel, norm, num_nodes: int, layer_shapes,
                      row_block: int = ROW_BLOCK,
                      edge_block: int = EDGE_BLOCK,
-                     identity_basis: bool = False) -> dict:
+                     identity_basis: bool = False,
+                     num_out_nodes: Optional[int] = None,
+                     num_in_nodes: Optional[int] = None) -> dict:
     """One :class:`LayerPlans` per distinct (k_in, k_out) pair, keyed
     ``"kin:kout"``. ``layer_shapes``: iterable of (in_width, out_width);
     ``in_width=None`` marks the featureless/identity gather (k_in ==
@@ -475,7 +499,8 @@ def plans_for_layers(src, dst, rel, norm, num_nodes: int, layer_shapes,
     return {f"{ki}:{ko}:{id_key}" if kind == id_kind else f"{ki}:{ko}":
             build_layer_plans(src, dst, rel, norm, num_nodes, ki, ko,
                               row_block=row_block, edge_block=edge_block,
-                              kind=kind)
+                              kind=kind, num_out_nodes=num_out_nodes,
+                              num_in_nodes=num_in_nodes)
             for ki, ko, kind in sorted(pairs)}
 
 
@@ -545,7 +570,7 @@ def featureless_aggregate(table: jnp.ndarray, plans: LayerPlans,
                     f.in_mod, k, out_dim)
     out = _place_scatter(V, f.out_mod, f, plans.n_out_rows, plans.k_out,
                          out_dim, table.shape[1], interpret)
-    return unpack_rows(out, plans.k_out, plans.num_nodes, out_dim)
+    return unpack_rows(out, plans.k_out, plans.out_nodes, out_dim)
 
 
 def _gather_sub(table: jnp.ndarray, row: jnp.ndarray, mod: jnp.ndarray,
@@ -703,7 +728,7 @@ def featureless_basis(comp: jnp.ndarray, packed: jnp.ndarray,
         v = v + w[:, b:b + 1] * g                       # (E, out_dim)
     out = _place_scatter(v, f.out_mod, f, plans.n_out_rows, plans.k_out,
                          out_dim, packed.shape[2], interpret)
-    return unpack_rows(out, plans.k_out, plans.num_nodes, out_dim)
+    return unpack_rows(out, plans.k_out, plans.out_nodes, out_dim)
 
 
 def _featureless_basis_fwd(comp, packed, plans, out_dim, interpret):
@@ -815,7 +840,7 @@ def dense_aggregate(H: jnp.ndarray, W: jnp.ndarray, plans: LayerPlans,
         out = sorted_scatter(msgs, f.scatter_local, f.scatter_blk,
                              plans.n_out_rows, f.row_block, f.edge_block,
                              interpret)
-    return unpack_rows(out, plans.k_out, plans.num_nodes, out_dim)
+    return unpack_rows(out, plans.k_out, plans.out_nodes, out_dim)
 
 
 def _dense_fwd(H, W, plans, in_dim, out_dim, interpret):
@@ -850,7 +875,7 @@ def _dense_bwd(in_dim, out_dim, interpret, res, d_out):
                               h.scatter_local, h.scatter_blk,
                               plans.n_in_rows, h.row_block, h.edge_block,
                               interpret)
-    d_H = unpack_rows(d_Hp, plans.k_in, plans.num_nodes, in_dim
+    d_H = unpack_rows(d_Hp, plans.k_in, plans.in_nodes, in_dim
                       ).astype(H.dtype)
 
     # ---- d_W on the (rel, dst)-sorted stream: slabs are relation-constant
@@ -888,6 +913,6 @@ def reference_featureless(table, plans: LayerPlans, out_dim, src, dst,
     rows = rel * plans.n_in_rows + dst // k
     lines = np.asarray(table)[rows]
     v = lines.reshape(-1, k, sub)[np.arange(len(dst)), dst % k, :out_dim]
-    out = np.zeros((plans.num_nodes, out_dim), np.float32)
+    out = np.zeros((plans.out_nodes, out_dim), np.float32)
     np.add.at(out, src, v * norm[:, None])
     return out

@@ -39,6 +39,8 @@ class RunInputs:
     num_nodes: int = 0
     num_relations: int = 0
     structure: object = None              # GraphStructure (for mini-batching)
+    hidden_dims: Tuple = ()               # layer widths (for restricted plans)
+    identity_basis: bool = False          # featureless plan kind decision
 
 
 def prepare_inputs(artifact: Artifact, config: Dict,
@@ -104,24 +106,24 @@ def prepare_inputs(artifact: Artifact, config: Dict,
     # sorted-stream layer plans: static edge layouts for the Pallas
     # scatter/gather engine (ops/relational.py), one per layer shape
     import os
+    from mrgcn_tpu.ops import relational as rl
+    task = config.get("task", {}).get("type", "")
+    out_final = len(artifact.class_map) \
+        if task == "node classification" and artifact.class_map \
+        else None
+    dims = tuple(hidden_dims_from_config(config, out_final))
+    # when the composed identity table would not fit HBM and the basis
+    # count is stream-friendly, build the identity plans with the
+    # dst-sorted bwd_h stream featureless_basis needs (key ":idb")
+    num_bases = int(config["model"]["num_bases"])
+    basis = rl.basis_stream_wanted(structure.num_relations, n,
+                                   dims[0], num_bases)
     plans = None
     if os.environ.get("MRGCN_GATHER_PLAN", "1") != "0":
-        from mrgcn_tpu.ops import relational as rl
-        task = config.get("task", {}).get("type", "")
-        out_final = len(artifact.class_map) \
-            if task == "node classification" and artifact.class_map \
-            else None
-        dims = list(hidden_dims_from_config(config, out_final))
         shapes = [(None, dims[0])]                     # identity gather
         if not featureless and X_width > 0:
             shapes.append((X_width, dims[0]))
         shapes.extend((dims[i - 1], dims[i]) for i in range(1, len(dims)))
-        # when the composed identity table would not fit HBM and the basis
-        # count is stream-friendly, build the identity plans with the
-        # dst-sorted bwd_h stream featureless_basis needs (key ":idb")
-        num_bases = int(config["model"]["num_bases"])
-        basis = rl.basis_stream_wanted(structure.num_relations, n,
-                                       dims[0], num_bases)
         plans = rl.plans_for_layers(structure.src, structure.dst,
                                     structure.rel, structure.norm, n,
                                     shapes, identity_basis=basis)
@@ -144,7 +146,115 @@ def prepare_inputs(artifact: Artifact, config: Dict,
                      X_width=X_width, featureless=featureless,
                      text_vocab_size=text_vocab, text_pad_id=text_pad_id,
                      num_nodes=n, num_relations=structure.num_relations,
-                     structure=structure)
+                     structure=structure, hidden_dims=dims,
+                     identity_basis=basis)
+
+
+def _filter_remap(src, dst, rel, norm, out_nodes):
+    """Keep edges whose output node is in ``out_nodes`` (sorted unique);
+    remap src to positions in ``out_nodes``. dst stays as given."""
+    keep_pos = np.searchsorted(out_nodes, src)
+    keep_pos = np.minimum(keep_pos, len(out_nodes) - 1)
+    keep = out_nodes[keep_pos] == src
+    return (keep_pos[keep].astype(np.int32), dst[keep].astype(np.int32),
+            rel[keep].astype(np.int32), norm[keep].astype(np.float32))
+
+
+def restricted_layer_edges(structure, out_nodes: np.ndarray,
+                           num_layers: int, full_edges: EdgeBlock,
+                           first_dim: Optional[int] = None,
+                           X_width: int = 0, featureless: bool = True,
+                           identity_basis: bool = False,
+                           group_size: int = 64,
+                           min_shrink: float = 0.9) -> Tuple:
+    """Per-layer EdgeBlocks for a full-batch pass whose loss reads only
+    ``out_nodes`` (sorted unique global node ids).
+
+    Walks frontiers backwards from the labels: each layer aggregates only
+    at the rows the layer above actually reads (output restriction is
+    exact — dropped rows receive zero cotangent either way; per-edge
+    D^-1 norms are untouched). The INPUT layer keeps its global input
+    space (identity weight table / feature matrix) and carries
+    rectangular sorted-stream plans (ops/relational.build_layer_plans
+    with num_out_nodes); the other restricted layers run the
+    relation-grouped path at frontier scale. When a frontier stops
+    shrinking (>= min_shrink * num_nodes) the remaining layers reuse
+    ``full_edges`` and the boundary layer keeps global dst indexing.
+
+    This is the full-batch analogue of the reference's mini-batch BFS
+    sampling (reference: mrgcn/data/batch.py:185-197) — same restriction,
+    but compiled once as static streams instead of per-batch subgraphs.
+    """
+    from mrgcn_tpu.encodings.structure import group_by_relation
+    from mrgcn_tpu.ops import relational as rl
+
+    src = np.asarray(structure.src)
+    dst = np.asarray(structure.dst)
+    rel = np.asarray(structure.rel)
+    norm = np.asarray(structure.norm)
+    n = structure.num_nodes
+
+    blocks = [full_edges] * num_layers
+    F_next = np.asarray(out_nodes)
+    for layer in range(num_layers - 1, -1, -1):
+        src_l, dst_l, rel_l, norm_l = _filter_remap(src, dst, rel, norm,
+                                                    F_next)
+        num_out = int(len(F_next))
+        if layer == 0:
+            # input layer: dst indexes the GLOBAL identity table / X rows
+            plans = None
+            if full_edges.plans is not None and first_dim is not None:
+                shapes = [(None, first_dim)]
+                if not featureless and X_width > 0:
+                    shapes.append((X_width, first_dim))
+                plans = rl.plans_for_layers(
+                    src_l, dst_l, rel_l, norm_l, n, shapes,
+                    identity_basis=identity_basis,
+                    num_out_nodes=num_out)
+            grouping = group_by_relation(src_l, dst_l, rel_l, norm_l,
+                                         num_out, group_size=group_size)
+            blocks[0] = EdgeBlock(
+                src=jnp.asarray(src_l), dst=jnp.asarray(dst_l),
+                rel=jnp.asarray(rel_l), norm=jnp.asarray(norm_l),
+                num_out=num_out, num_in=None, plans=plans,
+                grp_src=jnp.asarray(grouping.src),
+                grp_dst=jnp.asarray(grouping.dst),
+                grp_norm=jnp.asarray(grouping.norm),
+                group_rel=jnp.asarray(grouping.group_rel),
+                group_size=grouping.group_size)
+            break
+
+        F_cur = np.unique(dst_l)
+        if len(F_cur) >= min_shrink * n:
+            # frontier covers ~everything: keep global dst, full layers
+            # below (their output space is the full node set)
+            grouping = group_by_relation(src_l, dst_l, rel_l, norm_l,
+                                         num_out, group_size=group_size)
+            blocks[layer] = EdgeBlock(
+                src=jnp.asarray(src_l), dst=jnp.asarray(dst_l),
+                rel=jnp.asarray(rel_l), norm=jnp.asarray(norm_l),
+                num_out=num_out, num_in=None,
+                grp_src=jnp.asarray(grouping.src),
+                grp_dst=jnp.asarray(grouping.dst),
+                grp_norm=jnp.asarray(grouping.norm),
+                group_rel=jnp.asarray(grouping.group_rel),
+                group_size=grouping.group_size)
+            break
+
+        dst_local = np.searchsorted(F_cur, dst_l).astype(np.int32)
+        grouping = group_by_relation(src_l, dst_local, rel_l, norm_l,
+                                     num_out, group_size=group_size)
+        blocks[layer] = EdgeBlock(
+            src=jnp.asarray(src_l), dst=jnp.asarray(dst_local),
+            rel=jnp.asarray(rel_l), norm=jnp.asarray(norm_l),
+            num_out=num_out, num_in=int(len(F_cur)),
+            grp_src=jnp.asarray(grouping.src),
+            grp_dst=jnp.asarray(grouping.dst),
+            grp_norm=jnp.asarray(grouping.norm),
+            group_rel=jnp.asarray(grouping.group_rel),
+            group_size=grouping.group_size)
+        F_next = F_cur
+    return tuple(blocks)
 
 
 def output_edge_block(structure, out_nodes: np.ndarray,

@@ -118,21 +118,24 @@ def make_batches(inputs: RunInputs, label_rows: np.ndarray, batchsize: int,
     if batchsize <= 0 or batchsize >= num_samples:
         import os
         uniq, inverse = np.unique(label_rows[:, 0], return_inverse=True)
-        # restricted output layer: aggregate the final layer only at
-        # labelled nodes (see tasks/common.output_edge_block) — identical
-        # loss/gradients, ~n/len(uniq) less output-layer edge traffic.
-        # Skipped under a mesh (the sharded plans cover the full edge
-        # set), for single-layer models (the input layer needs its own
-        # plans) and when labels cover every node anyway.
+        # frontier-restricted layers: every layer aggregates only at the
+        # rows the loss (transitively) reads — identical loss/gradients,
+        # a fraction of the edge traffic (see
+        # tasks/common.restricted_layer_edges). Skipped under a mesh (the
+        # sharded plans cover the full edge set) and when labels cover
+        # every node anyway.
         restrict = (os.environ.get("MRGCN_RESTRICT_OUT", "1") != "0"
-                    and num_layers >= 2
                     and getattr(inputs.edges, "mesh", None) is None
                     and inputs.structure is not None
                     and len(uniq) < inputs.num_nodes)
         if restrict:
-            from mrgcn_tpu.tasks.common import output_edge_block
-            out_block = output_edge_block(inputs.structure, uniq)
-            edges = tuple([inputs.edges] * (num_layers - 1) + [out_block])
+            from mrgcn_tpu.tasks.common import restricted_layer_edges
+            edges = restricted_layer_edges(
+                inputs.structure, uniq, num_layers, inputs.edges,
+                first_dim=(inputs.hidden_dims[0]
+                           if inputs.hidden_dims else None),
+                X_width=inputs.X_width, featureless=inputs.featureless,
+                identity_basis=inputs.identity_basis)
             idx, targets, weights = _pad_labels(inverse.astype(np.int32),
                                                 label_rows[:, 1])
         else:

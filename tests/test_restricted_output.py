@@ -17,7 +17,7 @@ import optax
 from mrgcn_tpu.encodings.structure import group_by_relation
 from mrgcn_tpu.models.rgcn import RGCN, EdgeBlock
 from mrgcn_tpu.ops import relational as rl
-from mrgcn_tpu.tasks.common import output_edge_block
+from mrgcn_tpu.tasks.common import output_edge_block, restricted_layer_edges
 
 
 class _Structure:
@@ -101,6 +101,26 @@ def test_restricted_output_loss_and_grad_parity():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=1e-4)
 
+    # ---- full frontier restriction (restricted layer-1 with rectangular
+    # plans + restricted output layer) must match too
+    chain = restricted_layer_edges(structure, uniq, 2, full,
+                                   first_dim=hidden)
+    assert isinstance(chain, tuple) and len(chain) == 2
+    assert chain[1].num_out == len(uniq)
+    assert chain[0].plans is not None            # rectangular stream plans
+    assert chain[0].num_out < n                  # layer-1 got restricted
+
+    def loss_chain(p):
+        out = model.apply({"params": p}, None, chain)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            out[jnp.asarray(inverse.astype(np.int32))], cls).mean()
+
+    lc, gc = jax.value_and_grad(loss_chain)(params)
+    assert np.allclose(float(lf), float(lc), atol=1e-6)
+    for a, b in zip(flat_f, jax.tree.leaves(gc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
+
 
 def test_output_edge_block_norms_unchanged():
     n, R = 60, 3
@@ -144,6 +164,10 @@ def test_driver_restriction_matches_full(monkeypatch, tmp_path):
     inputs.edges = full
     inputs.structure = structure
     inputs.num_nodes = n
+    inputs.hidden_dims = (hidden, C)
+    inputs.X_width = 0
+    inputs.featureless = True
+    inputs.identity_basis = False
 
     rng = np.random.default_rng(5)
     nodes = rng.choice(n, 25, replace=False)

@@ -742,21 +742,7 @@ def _featureless_basis_bwd(out_dim, interpret, res, d_out):
     k = plans.k_in
     d_out_p = pack_rows(d_out, plans.k_out, plans.n_out_rows)
 
-    # ---- d_comp on the (rel, dst)-sorted stream: slabs are rel-constant
-    t = plans.bwd_table
-    eb, nslab = t.edge_block, t.num_slabs
-    d_vt = _gather_sub(d_out_p, t.src_row, t.out_mod, plans.k_out,
-                       out_dim) * t.norm[:, None]       # (E, out)
-    cols = []
-    for b in range(B):
-        g_t = _gather_sub(packed[b], t.gather_row, t.in_mod, k, out_dim)
-        cols.append(jnp.sum(d_vt * g_t, axis=1)
-                    .reshape(nslab, eb).sum(axis=1))    # (nslab,)
-    per_slab = jnp.stack(cols, axis=1)                  # (nslab, B)
-    d_comp = jax.ops.segment_sum(per_slab, t.slab_rel,
-                                 num_segments=comp.shape[0])
-
-    # ---- d_packed on the dst-sorted stream: B block-scatters
+    # ---- d_packed on the dst-sorted bwd_h stream: B block-scatters
     h = plans.bwd_h
     d_vh = _gather_sub(d_out_p, h.src_row, h.out_mod, plans.k_out,
                        out_dim)                         # (E, out), no norm
@@ -767,6 +753,43 @@ def _featureless_basis_bwd(out_dim, interpret, res, d_out):
             d_vh * w_h[:, b:b + 1], h.in_mod, h, plans.n_in_rows,
             k, out_dim, packed.shape[2], interpret))
     d_packed = jnp.stack(planes, axis=0)                # (B, rows, L)
+
+    if os.environ.get("MRGCN_DCOMP_TSTREAM") == "1":
+        # superseded formulation, kept for on-device comparison: the
+        # (rel, dst)-sorted bwd_table stream splits slabs on
+        # (block, relation), so at LP scale (R=475) it pads 6.3x —
+        # 3.53M padded rows vs 559k edges — and the three per-edge ops
+        # below each pay it (the ~50 ms "composition residual" of
+        # benchmarks/tpu_batch_r3h.py)
+        t = plans.bwd_table
+        eb, nslab = t.edge_block, t.num_slabs
+        d_vt = _gather_sub(d_out_p, t.src_row, t.out_mod, plans.k_out,
+                           out_dim) * t.norm[:, None]   # (E, out)
+        cols = []
+        for b in range(B):
+            g_t = _gather_sub(packed[b], t.gather_row, t.in_mod, k,
+                              out_dim)
+            cols.append(jnp.sum(d_vt * g_t, axis=1)
+                        .reshape(nslab, eb).sum(axis=1))  # (nslab,)
+        per_slab = jnp.stack(cols, axis=1)              # (nslab, B)
+        d_comp = jax.ops.segment_sum(per_slab, t.slab_rel,
+                                     num_segments=comp.shape[0])
+    else:
+        # ---- d_comp on the SAME bwd_h stream (1.01x padding): reuse the
+        # d_out gather above (XLA CSEs it), gather the B basis rows per
+        # edge (h.gather_row/in_mod are the packed-table coordinates),
+        # per-edge lane dots, then a narrow (E, B) segment-sum over rel.
+        # Padding edges carry norm 0 and contribute nothing.
+        dvn = d_vh * h.norm[:, None]                    # (E, out)
+        cols = []
+        for b in range(B):
+            g_hb = _gather_sub(packed[b], h.gather_row, h.in_mod, k,
+                               out_dim)
+            cols.append(jnp.sum(dvn * g_hb, axis=1))    # (E,)
+        per_edge = jnp.stack(cols, axis=1)              # (E, B)
+        d_comp = jax.ops.segment_sum(per_edge, h.rel,
+                                     num_segments=comp.shape[0])
+
     return (d_comp.astype(comp.dtype), d_packed.astype(packed.dtype),
             None)
 

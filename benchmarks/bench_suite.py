@@ -46,7 +46,11 @@ def multimodal_workload():
                 feats=feats, rng=rng)
 
 
-def bench_multimodal(steps=5):
+def multimodal_setup():
+    """Build the multimodal train step once; shared with
+    benchmarks/roofline.py. Returns (train_step, params, stats,
+    opt_state, edges) — ``edges`` is the per-layer EdgeBlock tuple on
+    the restricted default, one EdgeBlock otherwise."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -131,6 +135,15 @@ def bench_multimodal(steps=5):
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_stats, \
             opt_state, loss
+
+    return train_step, params, stats, opt_state, edges
+
+
+def bench_multimodal(steps=5):
+    import jax
+    import jax.numpy as jnp
+
+    train_step, params, stats, opt_state, _ = multimodal_setup()
 
     @jax.jit
     def run_epochs(params, stats, opt_state, k):

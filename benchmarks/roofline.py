@@ -50,11 +50,29 @@ def _pallas_stream_bytes(plans_dict, n_streams_per_plan=3):
     total = 0
     for plan in plans_dict.values():
         for s in (plan.fwd, plan.bwd_table, plan.bwd_h):
+            if s is None:
+                continue
             e_pad = int(np.prod(s.scatter_local.shape))
             total += e_pad * 128 * 4                      # msgs read
             blocks = len(set(np.asarray(s.scatter_blk).tolist()))
             total += blocks * s.row_block * 128 * 4       # block flushes
     return total
+
+
+def _collect_plans(edges):
+    """Plans from one EdgeBlock or a per-layer EdgeBlock tuple (the
+    restricted-layer default), keyed uniquely for _pallas_stream_bytes."""
+    blocks = edges if isinstance(edges, (tuple, list)) else (edges,)
+    merged, seen = {}, set()
+    for i, blk in enumerate(blocks):
+        if id(blk) in seen:      # layers past a non-shrinking frontier
+            continue             # share one EdgeBlock — count it once
+        seen.add(id(blk))
+        plans = getattr(blk, "plans", None)
+        if plans:
+            for k, v in plans.items():
+                merged[(i, k)] = v
+    return merged
 
 
 def featureless_logical_bytes(n, R, B, hidden, E_pad, rows, opt="adam"):
@@ -119,8 +137,13 @@ def analyze(name, step_fn, args, plans=None, extra=None):
     return out
 
 
-def featureless_step():
-    """The bench.py workload as a single jitted train step."""
+def featureless_step(restricted=False):
+    """The bench.py workload as a single jitted train step.
+
+    ``restricted=True`` builds the NC driver's default frontier-restricted
+    program (tasks/common.restricted_layer_edges, as bench.py ships it);
+    False keeps the full-graph program whose itemized hand model below is
+    exact."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -137,14 +160,30 @@ def featureless_step():
     edges = EdgeBlock(src=jnp.asarray(w["src"]), dst=jnp.asarray(w["dst"]),
                       rel=jnp.asarray(w["rel"]),
                       norm=jnp.asarray(w["norm"]), num_out=n, plans=plans)
+    labels_idx_np = np.asarray(w["labels_idx"], dtype=np.int32)
+    labels_cls_np = np.asarray(w["labels_cls"], dtype=np.int32)
+    if restricted:
+        from types import SimpleNamespace
+
+        from mrgcn_tpu.tasks.common import restricted_layer_edges
+        order = np.argsort(labels_idx_np, kind="stable")
+        labels_idx_np = labels_idx_np[order]
+        labels_cls_np = labels_cls_np[order]
+        structure = SimpleNamespace(src=w["src"], dst=w["dst"],
+                                    rel=w["rel"], norm=w["norm"],
+                                    num_nodes=n)
+        edges = restricted_layer_edges(structure, labels_idx_np, 2, edges,
+                                       first_dim=hidden)
+        labels_idx = jnp.arange(len(labels_idx_np), dtype=jnp.int32)
+    else:
+        labels_idx = jnp.asarray(labels_idx_np)
     model = RGCN(hidden_dims=(hidden, C), num_relations=R, num_nodes=n,
                  num_bases=B, featureless=True)
     params = model.init(jax.random.PRNGKey(0), None, edges)["params"]
     optimizer = optax.chain(optax.clip_by_global_norm(1.0),
                             optax.adam(0.01))
     opt_state = optimizer.init(params)
-    labels_idx = jnp.asarray(w["labels_idx"].astype(np.int32))
-    labels_cls = jnp.asarray(w["labels_cls"].astype(np.int32))
+    labels_cls = jnp.asarray(labels_cls_np)
 
     def step(params, opt_state):
         def loss_fn(p):
@@ -155,7 +194,7 @@ def featureless_step():
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    return step, (params, opt_state), plans
+    return step, (params, opt_state), _collect_plans(edges)
 
 
 def lp_step():
@@ -172,8 +211,12 @@ def lp_step():
     w = lp_workload()
     n, R = w["n"], w["R"]
     hidden, B = 200, 2
-    plans = rl.plans_for_layers(w["src"], w["dst"], w["rel"], w["norm"], n,
-                                [(None, hidden), (hidden, hidden)])
+    # the driver default at this scale: basis-stream engine for the
+    # featureless input layer (relational.featureless_basis)
+    plans = rl.plans_for_layers(
+        w["src"], w["dst"], w["rel"], w["norm"], n,
+        [(None, hidden), (hidden, hidden)],
+        identity_basis=rl.basis_stream_wanted(R, n, hidden, B))
     grouping = group_by_relation(w["src"], w["dst"], w["rel"], w["norm"], n)
     edges = EdgeBlock(src=jnp.asarray(w["src"]), dst=jnp.asarray(w["dst"]),
                       rel=jnp.asarray(w["rel"]),
@@ -244,8 +287,24 @@ def main():
                 "not streaming-bound (measured ~6-8 ns/row in "
                 "benchmarks/micro_gather.py)"}), flush=True)
 
+    step, args, plans = featureless_step(restricted=True)
+    analyze("featureless_nc_epoch_restricted", step, args, plans=plans,
+            extra={"note": "the NC driver/bench.py default program "
+                           "(frontier-restricted layers); XLA bytes "
+                           "over-count gathers as above"})
+
+    from benchmarks.bench_suite import multimodal_setup
+    t_step, params, stats, opt_state, edges = multimodal_setup()
+    key = jax.random.PRNGKey(7)
+    analyze("multimodal_nc_epoch", t_step, (params, stats, opt_state, key),
+            plans=_collect_plans(edges),
+            extra={"note": "encoder-dominated: the MXU bound is the "
+                           "relevant axis (MFU); text encoder matmuls "
+                           "run bf16 inputs / f32 accum"})
+
     step, args, plans = lp_step()
-    analyze("lp_fb15k237_epoch", step, args, plans=plans)
+    analyze("lp_fb15k237_epoch", step, args, plans=plans,
+            extra={"note": "basis-stream input layer default"})
 
 
 if __name__ == "__main__":

@@ -237,6 +237,14 @@ class TextEncoder(nn.Module):
     # within 8% at bench shapes (117 vs 109 ms), so the default stays
     # gather, which never materialises (N, L, V).
     embed_impl: str = "gather"
+    # rematerialise each transformer block in the backward pass. Measured
+    # at the multimodal bench shape (N=8k, L=128, v5e,
+    # benchmarks/tpu_batch_r3k.py): remat LOSES — 88.6 -> 94.9 ms fwd+bwd
+    # (the stored-activation reads are not this encoder's wall; recompute
+    # adds a full forward). Default stays off; the flag remains the
+    # standard memory/time trade for long-sequence or large-batch
+    # configurations where activations would not fit HBM.
+    remat: bool = False
 
 
     @nn.compact
@@ -260,22 +268,17 @@ class TextEncoder(nn.Module):
                          (self.max_len, self.model_dim))
         x = x + pos[:tokens.shape[1]][None, :, :].astype(self.dtype)
 
-        attention_fn = _flash_attention_fn if self.attn_impl == "flash" \
-            else nn.dot_product_attention
         attn_mask = mask[:, None, None, :] if self.key_only_mask \
             else nn.make_attention_mask(mask, mask)
-        for _ in range(self.num_layers):
-            y = nn.LayerNorm(dtype=self.dtype)(x)
-            y = nn.MultiHeadDotProductAttention(
-                num_heads=self.num_heads, qkv_features=self.model_dim,
-                dtype=self.dtype, attention_fn=attention_fn,
-                deterministic=not train)(y, y, mask=attn_mask)
-            x = x + y
-            y = nn.LayerNorm(dtype=self.dtype)(x)
-            y = nn.Dense(4 * self.model_dim, dtype=self.dtype)(y)
-            y = nn.gelu(y)
-            y = nn.Dense(self.model_dim, dtype=self.dtype)(y)
-            x = x + y
+        block_cls = nn.remat(_TextBlock) if self.remat else _TextBlock
+        for i in range(self.num_layers):
+            # explicit name: keeps the param tree identical whether or not
+            # the block is remat-wrapped (nn.remat mangles the auto name)
+            x = block_cls(model_dim=self.model_dim,
+                          num_heads=self.num_heads, dtype=self.dtype,
+                          attn_impl=self.attn_impl,
+                          deterministic=not train,
+                          name=f"_TextBlock_{i}")(x, attn_mask)
         x = nn.LayerNorm(dtype=self.dtype)(x)
 
         pooled = x[:, 0].astype(jnp.float32)  # CLS pooling
@@ -286,6 +289,34 @@ class TextEncoder(nn.Module):
         pooled = nn.Dropout(self.p_dropout, deterministic=not train)(pooled)
         return nn.Dense(self.output_dim,
                         kernel_init=tinit.torch_linear_kernel())(pooled)
+
+
+class _TextBlock(nn.Module):
+    """One pre-norm transformer block (attention + MLP, residuals) —
+    factored out of :class:`TextEncoder` so ``nn.remat`` can wrap it."""
+
+    model_dim: int
+    num_heads: int
+    dtype: jnp.dtype
+    attn_impl: str = "auto"
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 attn_mask: jnp.ndarray) -> jnp.ndarray:
+        attention_fn = _flash_attention_fn if self.attn_impl == "flash" \
+            else nn.dot_product_attention
+        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.model_dim,
+            dtype=self.dtype, attention_fn=attention_fn,
+            deterministic=self.deterministic)(y, y, mask=attn_mask)
+        x = x + y
+        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = nn.Dense(4 * self.model_dim, dtype=self.dtype)(y)
+        y = nn.gelu(y)
+        y = nn.Dense(self.model_dim, dtype=self.dtype)(y)
+        return x + y
 
 
 class _SeparableBlock(nn.Module):

@@ -304,13 +304,34 @@ class _TextBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  attn_mask: jnp.ndarray) -> jnp.ndarray:
-        attention_fn = _flash_attention_fn if self.attn_impl == "flash" \
-            else nn.dot_product_attention
         y = nn.LayerNorm(dtype=self.dtype)(x)
-        y = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, qkv_features=self.model_dim,
-            dtype=self.dtype, attention_fn=attention_fn,
-            deterministic=self.deterministic)(y, y, mask=attn_mask)
+        if self.attn_impl == "plain":
+            # hand-rolled single-head attention on (N, L, d) directly: no
+            # (N, L, h, dh) head split/merge, no per-head mask broadcast —
+            # the flax module's singleton head axis costs real transposes
+            # in the backward (A/B: benchmarks/tpu_batch_r3m.py)
+            assert self.num_heads == 1, "plain attention is single-head"
+            assert attn_mask.ndim == 4 and attn_mask.shape[1:3] == (1, 1), \
+                "plain attention needs the key-only (N, 1, 1, L) mask"
+            d = self.model_dim
+            q = nn.Dense(d, dtype=self.dtype, name="query")(y)
+            k = nn.Dense(d, dtype=self.dtype, name="key")(y)
+            v = nn.Dense(d, dtype=self.dtype, name="value")(y)
+            logits = jnp.einsum("nld,nmd->nlm", q, k,
+                                preferred_element_type=jnp.float32)
+            logits = logits / jnp.sqrt(jnp.float32(d))
+            keys_ok = attn_mask.reshape(attn_mask.shape[0], 1, -1)
+            logits = jnp.where(keys_ok, logits, jnp.float32(-1e9))
+            p = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            y = jnp.einsum("nlm,nmd->nld", p, v)
+            y = nn.Dense(d, dtype=self.dtype, name="out")(y)
+        else:
+            attention_fn = _flash_attention_fn \
+                if self.attn_impl == "flash" else nn.dot_product_attention
+            y = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads, qkv_features=self.model_dim,
+                dtype=self.dtype, attention_fn=attention_fn,
+                deterministic=self.deterministic)(y, y, mask=attn_mask)
         x = x + y
         y = nn.LayerNorm(dtype=self.dtype)(x)
         y = nn.Dense(4 * self.model_dim, dtype=self.dtype)(y)

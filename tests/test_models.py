@@ -298,6 +298,45 @@ def test_text_encoder_one_hot_embed_matches_gather():
     np.testing.assert_allclose(emb_g, emb_o, rtol=1e-4, atol=1e-5)
 
 
+def test_text_encoder_plain_attention_matches_flax():
+    """attn_impl='plain' (hand-rolled single-head attention on (N, L, d))
+    computes the same function as the flax MultiHeadDotProductAttention
+    path at num_heads=1 once its (d, h, dh) kernels are reshaped into the
+    plain layout's (d, d) Dense kernels. f32 body for a tight check."""
+    from mrgcn_tpu.models.encoders import TextEncoder
+
+    rng = np.random.default_rng(7)
+    tokens = rng.integers(0, 250, (5, 12)).astype(np.int32)
+    for i, keep in enumerate([12, 7, 3, 9, 1]):
+        tokens[i, keep:] = 256
+    tokens = jnp.asarray(tokens)
+
+    kw = dict(output_dim=4, model_dim=16, num_heads=1, num_layers=2,
+              max_len=12, dtype=jnp.float32)
+    enc_flax = TextEncoder(attn_impl="auto", **kw)
+    enc_plain = TextEncoder(attn_impl="plain", **kw)
+    v_flax = enc_flax.init(jax.random.PRNGKey(0), tokens)
+
+    # map the MHA params (kernels (d, 1, d) / out (1, d, d)) into the plain
+    # layout's plain Dense (d, d) params
+    d = kw["model_dim"]
+    params = jax.tree_util.tree_map(lambda x: x, v_flax["params"])
+    for i in range(kw["num_layers"]):
+        blk = dict(params[f"_TextBlock_{i}"])
+        mha = blk.pop("MultiHeadDotProductAttention_0")
+        for name in ("query", "key", "value"):
+            blk[name] = {"kernel": mha[name]["kernel"].reshape(d, d),
+                         "bias": mha[name]["bias"].reshape(d)}
+        blk["out"] = {"kernel": mha["out"]["kernel"].reshape(d, d),
+                      "bias": mha["out"]["bias"]}
+        params[f"_TextBlock_{i}"] = blk
+
+    out_flax = enc_flax.apply(v_flax, tokens)
+    out_plain = enc_plain.apply({"params": params}, tokens)
+    np.testing.assert_allclose(np.asarray(out_flax), np.asarray(out_plain),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_image_cnn_dense_blocks():
     """block_impl='dense' trains: forward shape, finite grads, param tree
     differs from the separable default (plain 3x3 convs, no depthwise)."""

@@ -307,9 +307,12 @@ class _TextBlock(nn.Module):
         y = nn.LayerNorm(dtype=self.dtype)(x)
         if self.attn_impl == "plain":
             # hand-rolled single-head attention on (N, L, d) directly: no
-            # (N, L, h, dh) head split/merge, no per-head mask broadcast —
-            # the flax module's singleton head axis costs real transposes
-            # in the backward (A/B: benchmarks/tpu_batch_r3m.py)
+            # (N, L, h, dh) head split/merge, no per-head mask broadcast.
+            # Measured (benchmarks/tpu_batch_r3m.py, v5e, N=8k L=128
+            # fwd+bwd): 92.0 ms vs flax 89.0 — the singleton head axis is
+            # FREE (XLA reshapes it away); hypothesis refuted, flax stays
+            # the default. Kept as the measured variant + numeric oracle
+            # (tests/test_models.py pins equivalence at mapped params).
             assert self.num_heads == 1, "plain attention is single-head"
             assert attn_mask.ndim == 4 and attn_mask.shape[1:3] == (1, 1), \
                 "plain attention needs the key-only (N, 1, 1, L) mask"

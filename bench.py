@@ -8,11 +8,17 @@ full-batch train step.
 
 Prints ONE JSON line:
     {"metric": ..., "value": <epoch seconds>, "unit": "s",
-     "vs_baseline": <baseline_s / ours_s>}
+     "vs_baseline": <baseline_s / ours_s>,
+     "featureless_nc_epoch_s": ..., "multimodal_nc_epoch_s": ...,
+     "multimodal_vs_baseline": ..., "lp_epoch_s": ..., "lp_vs_baseline": ...}
 
-``vs_baseline`` compares against the torch-CPU epoch time in
-``bench_baseline.json`` (measured once with benchmarks/torch_baseline.py on
-this machine; re-measure with ``python benchmarks/torch_baseline.py``).
+The headline metric/value/vs_baseline stay the featureless NC epoch; the
+payload additionally carries the multimodal NC and LP FB15k-237 epochs
+(benchmarks/bench_suite.py) so regressions in any regime show up in the
+round snapshots. ``vs_baseline`` ratios compare against the torch-CPU epoch
+times in ``bench_baseline.json`` (measured once on this machine with
+benchmarks/torch_baseline.py, torch_multimodal_baseline.py,
+torch_lp_baseline.py). MRGCN_BENCH_HEADLINE_ONLY=1 skips the extra regimes.
 """
 
 from __future__ import annotations
@@ -178,20 +184,43 @@ def main() -> int:
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "bench_baseline.json")
-    vs_baseline = -1.0
+    baseline = {}
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             baseline = json.load(f)
-        baseline_s = baseline.get("torch_cpu_epoch_s", -1.0)
-        if baseline_s > 0:
-            vs_baseline = baseline_s / ours_s
 
-    print(json.dumps({
+    def ratio(key: str, ours: float) -> float:
+        ref = baseline.get(key, -1.0)
+        return round(ref / ours, 3) if ref > 0 and ours > 0 else -1.0
+
+    payload = {
         "metric": "dmg_scale_rgcn_epoch_time",
         "value": round(ours_s, 6),
         "unit": "s",
-        "vs_baseline": round(vs_baseline, 3),
-    }))
+        "vs_baseline": ratio("torch_cpu_epoch_s", ours_s),
+        "featureless_nc_epoch_s": round(ours_s, 6),
+    }
+
+    # the other two production regimes (VERDICT r3 #6): a regression in
+    # multimodal NC or LP becomes visible in the round-snapshot JSON.
+    # MRGCN_BENCH_HEADLINE_ONLY=1 skips them (quick iteration runs).
+    if os.environ.get("MRGCN_BENCH_HEADLINE_ONLY") != "1":
+        from benchmarks import bench_suite
+        try:
+            mm_s = bench_suite.bench_multimodal()
+            payload["multimodal_nc_epoch_s"] = round(mm_s, 6)
+            payload["multimodal_vs_baseline"] = ratio(
+                "torch_cpu_multimodal_epoch_s", mm_s)
+        except Exception as exc:  # record, don't lose the headline
+            payload["multimodal_error"] = f"{type(exc).__name__}: {exc}"
+        try:
+            lp_s, _ = bench_suite.bench_lp()
+            payload["lp_epoch_s"] = round(lp_s, 6)
+            payload["lp_vs_baseline"] = ratio("torch_cpu_lp_epoch_s", lp_s)
+        except Exception as exc:
+            payload["lp_error"] = f"{type(exc).__name__}: {exc}"
+
+    print(json.dumps(payload))
     return 0
 
 

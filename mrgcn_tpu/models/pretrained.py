@@ -10,8 +10,12 @@ zero-egress TPU environment those downloads fail, so:
     pre_fc/fc head, mirroring reference: mrgcn/models/transformer.py);
   * otherwise the from-scratch :class:`~mrgcn_tpu.models.encoders.TextEncoder`
     is used — the v2.0 paper-parity design;
-  * torchvision image backbones have no flax equivalent in this environment;
-    the compact trainable ImageCNN is always used (logged once).
+  * when a torchvision-format MobileNetV2 checkpoint is available locally,
+    :func:`mrgcn_tpu.models.mobilenet.load_image_backbone` converts it and
+    the MRGCN wraps it in :class:`PretrainedImageEncoder` (frozen backbone +
+    trainable fc head, mirroring reference: mrgcn/models/imagecnn.py);
+    otherwise the compact trainable ImageCNN is used (logged once). The
+    wiring lives in models/mrgcn.py (setup of the blob.image encoder).
 """
 
 from __future__ import annotations

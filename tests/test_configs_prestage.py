@@ -52,10 +52,14 @@ def test_config_prestaged_end_to_end(config_path, tmp_path):
     if "eval_interval" in config["task"]:
         config["task"]["eval_interval"] = 1
     # mini-batch BFS sampling compiles one program per bucket shape — slow
-    # on this container's single CPU core; keep the configured batching for
-    # one representative config (DMG, the heaviest) and run the rest
-    # full-batch (mini-batching is covered by tests/test_minibatch.py)
-    if "dmg" not in os.path.basename(config_path):
+    # on this container's single CPU core; exercise it for one
+    # representative config (DMG, the heaviest — forced to the reference's
+    # batchsize=32 here since the shipped config now defaults to the
+    # measured-24x-faster full batch) and run the rest full-batch
+    # (mini-batching is covered by tests/test_minibatch.py)
+    if "dmg" in os.path.basename(config_path):
+        config["task"]["batchsize"] = 32
+    else:
         for key in ("batchsize", "gcn_batchsize", "test_batchsize",
                     "mrr_batchsize"):
             if key in config["task"]:

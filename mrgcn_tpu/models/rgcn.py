@@ -156,8 +156,15 @@ def _identity_planned_sharded(packed, comp, plan, out_dim, mesh):
 
 def _basis_planned(packed, comp, plan, out_dim):
     """Featureless basis-stream layer (ops/relational.featureless_basis):
-    the composed table would not fit HBM, so compose happens per edge."""
+    the composed table would not fit HBM, so compose happens per edge.
+    ``MRGCN_WIDE_BASIS=1`` runs the combined-plane variant (one wide line
+    per edge instead of B separate gathers/scatters)."""
+    import os
+
     from mrgcn_tpu.ops import relational as rl
+    if os.environ.get("MRGCN_WIDE_BASIS", "0") != "0":
+        return rl.featureless_basis_wide(comp, _fit_rows(packed, plan),
+                                         plan, out_dim)
     return rl.featureless_basis(comp, _fit_rows(packed, plan), plan,
                                 out_dim)
 
@@ -178,6 +185,20 @@ def _dense_planned_sharded(H, W, plan, in_dim, out_dim, mesh):
     in_specs, out_spec = _shard_specs(2)
     return jax.shard_map(local, mesh=mesh, in_specs=in_specs,
                          out_specs=out_spec, check_vma=False)(H, W, plan)
+
+
+def _dense_basis_sharded(H, basis, comp, plan, in_dim, out_dim, mesh):
+    from mrgcn_tpu.ops import relational as rl
+
+    def local(h, ba, c, pl):
+        out = rl.dense_basis(h, ba, c, rl.unstack_plan(pl), in_dim,
+                             out_dim)
+        return jax.lax.psum(out, "data")
+
+    in_specs, out_spec = _shard_specs(3)
+    return jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_spec,
+                         check_vma=False)(H, basis, comp, plan)
 
 
 class RGCNLayer(nn.Module):
@@ -284,16 +305,39 @@ class RGCNLayer(nn.Module):
         weight_f = self.param("weight_f", tinit.xavier_uniform(),
                               (S, H.shape[-1], self.out_dim))
         plan_f = edges.plan_for(H.shape[-1], self.out_dim)
+        dense_basis_plan = None
         if plan_f is not None and not plan_f.fwd.rel_const \
                 and H.shape[-1] * self.out_dim > 4096:
             # without relation-constant slabs the plan path applies weights
             # via a per-edge (E, in, out) gather + einsum; for wide layers
             # (LP's 200x200) XLA cannot keep that fused and the compile
-            # OOMs on a ~45 GB remat buffer — the relation-grouped batched
-            # matmul below is the right formulation there
+            # OOMs on a ~45 GB remat buffer. With basis decomposition the
+            # stream engine still applies: dense_basis rewrites the layer
+            # through the tiny (n, B*out) per-basis projections, replacing
+            # the relation-grouped fallback whose dW backward materialises
+            # a (G, in, out) buffer (measured 25 ms-class at FB15k-237
+            # scale vs a ~4 ms roofline — docs/session_r3.md
+            # FINAL_GROUPED_DW). MRGCN_DENSE_BASIS=0 reverts to grouped.
+            import os
+
+            from mrgcn_tpu.ops import relational as rl
+            if (comp_f is not None and plan_f.k_in == 1
+                    and plan_f.kind == "dense"
+                    and 0 < self.num_bases <= rl.MAX_BASIS_STREAMS
+                    and os.environ.get("MRGCN_DENSE_BASIS", "0") != "0"):
+                dense_basis_plan = plan_f
             plan_f = None
         agg = None
-        if plan_f is not None:
+        if dense_basis_plan is not None:
+            from mrgcn_tpu.ops import relational as rl
+            if dense_basis_plan.num_shards > 1 and edges.mesh is not None:
+                agg = _dense_basis_sharded(H, weight_f, comp_f,
+                                           dense_basis_plan, H.shape[-1],
+                                           self.out_dim, edges.mesh)
+            else:
+                agg = rl.dense_basis(H, weight_f, comp_f, dense_basis_plan,
+                                     H.shape[-1], self.out_dim)
+        elif plan_f is not None:
             from mrgcn_tpu.ops import relational as rl
             W = rspmm._compose_weights(weight_f, comp_f)
             if plan_f.num_shards > 1 and edges.mesh is not None:

@@ -798,6 +798,145 @@ featureless_basis.defvjp(_featureless_basis_fwd, _featureless_basis_bwd)
 
 
 # --------------------------------------------------------------------------
+# wide-line basis engine: ONE combined (rows, B*L) table per layer
+# --------------------------------------------------------------------------
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def stream_basis_aggregate(comp: jnp.ndarray, wide: jnp.ndarray,
+                           plans: LayerPlans, out_dim: int,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Basis-stream layer over a COMBINED table: the B per-basis planes
+    live side by side in one ``(rows, B*L)`` array, so every per-edge pass
+    moves ONE wide line instead of B separate L-lane lines.
+
+    The per-edge gathers/scatters of :func:`featureless_basis` are
+    transaction-bound (~6-8 ns per *row*, width nearly free — see
+    docs/session_r3.md r3l), so combining the planes halves (B=2) the
+    per-edge row count of the forward gather, the d_packed scatter and the
+    d_comp gather. Same math:
+
+        ``out[s] = sum_e norm_e sum_b comp[rel_e, b] wide[row(dst_e),
+        b*L : b*L+out_dim]``
+
+    ``comp``: (R, B); ``wide``: (n_in_rows, B*L) — e.g.
+    ``combine_planes(packed)`` for the featureless layer or a padded
+    ``H @ basis`` for :func:`dense_basis`. Needs plans with a real
+    dst-sorted ``bwd_h`` stream (kind ``identity_basis`` or ``dense``).
+    Returns (out_nodes, out_dim).
+    """
+    assert plans.kind in ("identity_basis", "dense"), \
+        "stream_basis_aggregate needs a real dst-sorted bwd_h stream " \
+        "(identity plans alias bwd_h to fwd -> silently wrong gradients)"
+    f = plans.fwd
+    k = plans.k_in
+    B = comp.shape[1]
+    L = wide.shape[1] // B
+    w = comp[f.rel]                                     # (E, B)
+    g = wide[f.gather_row]                              # (E, B*L) one pass
+    v = 0.0
+    for b in range(B):
+        sel = _select_sub(g[:, b * L:(b + 1) * L], f.in_mod, k, out_dim)
+        v = v + w[:, b:b + 1] * sel                     # (E, out_dim)
+    out = _place_scatter(v, f.out_mod, f, plans.n_out_rows, plans.k_out,
+                         out_dim, line_width(plans.k_out, out_dim),
+                         interpret)
+    return unpack_rows(out, plans.k_out, plans.out_nodes, out_dim)
+
+
+def _stream_basis_fwd(comp, wide, plans, out_dim, interpret):
+    out = stream_basis_aggregate(comp, wide, plans, out_dim, interpret)
+    return out, (comp, wide, plans)
+
+
+def _stream_basis_bwd(out_dim, interpret, res, d_out):
+    comp, wide, plans = res
+    B = comp.shape[1]
+    L = wide.shape[1] // B
+    k = plans.k_in
+    h = plans.bwd_h
+    d_out_p = pack_rows(d_out, plans.k_out, plans.n_out_rows)
+
+    # one d_out gather on the dst-sorted stream, shared by both grads
+    d_vh = _gather_sub(d_out_p, h.src_row, h.out_mod, plans.k_out,
+                       out_dim)                         # (E, out), no norm
+    w_h = comp[h.rel]                                   # (E, B)
+
+    # ---- d_wide: ONE combined-line scatter
+    # d_wide[row(dst_e), b*L:] += norm_e comp[rel_e, b] d_out[src_e]
+    msgs = jnp.concatenate(
+        [_expand_sub(d_vh * w_h[:, b:b + 1], h.in_mod, k)
+         for b in range(B)], axis=1) * h.norm[:, None]  # (E, B*L)
+    d_wide = sorted_scatter(msgs, h.scatter_local, h.scatter_blk,
+                            wide.shape[0], h.row_block, h.edge_block,
+                            interpret)
+
+    # ---- d_comp on the same stream: ONE combined-line re-gather
+    dvn = d_vh * h.norm[:, None]
+    g = wide[h.gather_row]                              # (E, B*L) one pass
+    cols = []
+    for b in range(B):
+        sel = _select_sub(g[:, b * L:(b + 1) * L], h.in_mod, k, out_dim)
+        cols.append(jnp.sum(dvn * sel, axis=1))         # (E,)
+    per_edge = jnp.stack(cols, axis=1)                  # (E, B)
+    d_comp = jax.ops.segment_sum(per_edge, h.rel,
+                                 num_segments=comp.shape[0])
+    return d_comp.astype(comp.dtype), d_wide.astype(wide.dtype), None
+
+
+stream_basis_aggregate.defvjp(_stream_basis_fwd, _stream_basis_bwd)
+
+
+def combine_planes(packed: jnp.ndarray) -> jnp.ndarray:
+    """(B, rows, L) -> (rows, B*L): per-basis planes side by side. One
+    small in-jit copy (~30 MB at LP scale, <0.1 ms) buying halved per-edge
+    row counts in :func:`stream_basis_aggregate`; its autodiff transpose
+    un-combines d_wide back into the parameter layout."""
+    B, rows, L = packed.shape
+    return packed.transpose(1, 0, 2).reshape(rows, B * L)
+
+
+def featureless_basis_wide(comp: jnp.ndarray, packed: jnp.ndarray,
+                           plans: LayerPlans, out_dim: int,
+                           interpret: bool = False) -> jnp.ndarray:
+    """:func:`featureless_basis` on the combined-plane layout — same
+    ``identity_basis`` plans, same parameters, ~half the per-edge rows
+    moved per pass (``MRGCN_WIDE_BASIS=1`` routes the model here)."""
+    return stream_basis_aggregate(comp, combine_planes(packed), plans,
+                                  out_dim, interpret)
+
+
+def dense_basis(H: jnp.ndarray, basis: jnp.ndarray, comp: jnp.ndarray,
+                plans: LayerPlans, in_dim: int, out_dim: int,
+                interpret: bool = False) -> jnp.ndarray:
+    """Dense basis-decomposed layer as a stream op:
+    ``out[s] = sum_e norm_e H[dst_e] @ (sum_b comp[rel_e,b] basis[b])``.
+
+    Rewrites the contraction through the per-basis projections
+    ``flat = H @ basis`` — an (n, B*out) tensor, TINY at node scale — so
+    ALL edge-scale work runs on the sorted-stream engine with wide lines:
+    no per-group ``(G, in, out)`` d_W materialisation (the
+    relation-grouped path's measured 25 ms-class backward at FB15k-237
+    scale, docs/session_r3.md FINAL_GROUPED_DW), no unsorted segment-sum.
+    d_H and d_basis fall out of the einsum's autodiff at node scale.
+
+    Needs ``plans.k_in == 1`` (wide rows index nodes directly) and a real
+    bwd_h stream (``kind="dense"``). ``basis``: (B, in, out); ``comp``:
+    (R, B). Replaces reference: mrgcn/layers/graph.py:62-102 backward.
+    """
+    assert plans.k_in == 1, "dense_basis gathers node rows (k_in must be 1)"
+    n = H.shape[0]
+    B = comp.shape[1]
+    L = line_width(1, out_dim)
+    flat = jnp.einsum("ni,bio->nbo", H, basis,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)   # (n, B, out)
+    wide = jnp.pad(flat, ((0, plans.n_in_rows - n), (0, 0),
+                          (0, L - out_dim))).reshape(plans.n_in_rows,
+                                                     B * L)
+    return stream_basis_aggregate(comp, wide, plans, out_dim, interpret)
+
+
+# --------------------------------------------------------------------------
 # dense layer: out[src] += norm * (H[dst] @ W[rel])
 # --------------------------------------------------------------------------
 

@@ -209,6 +209,147 @@ def test_featureless_basis_fwd_and_grad(monkeypatch, out_dim, interpret):
                                    rtol=3e-4, atol=3e-4)
 
 
+@pytest.mark.parametrize("out_dim,interpret", [(16, False), (200, False),
+                                               (16, True)])
+def test_featureless_basis_wide_parity(monkeypatch, out_dim, interpret):
+    """featureless_basis_wide (combined (rows, B*L) table, one wide line
+    per edge) matches featureless_basis, forward and gradients, on the
+    same identity_basis plans."""
+    src, dst, rel, norm, n, R, E = random_graph(
+        seed=17, **({"n": 24, "E": 80, "R": 4} if interpret else {}))
+    rng = np.random.default_rng(18)
+    B = 3
+    k = rspmm.packing_factor(out_dim)
+    rb = 8 if interpret else 16
+    plans = rl.build_layer_plans(src, dst, rel, norm, n, k, k,
+                                 row_block=rb, edge_block=8,
+                                 kind="identity_basis")
+    lw = rl.line_width(k, out_dim)
+    comp = jnp.asarray(rng.standard_normal((R, B)).astype(np.float32))
+    packed = jnp.asarray(rng.standard_normal(
+        (B, plans.n_in_rows, lw)).astype(np.float32))
+    cot = jnp.asarray(rng.standard_normal((n, out_dim)).astype(np.float32))
+
+    def loss_narrow(c, p):
+        return jnp.vdot(rl.featureless_basis(c, p, plans, out_dim, False),
+                        cot)
+
+    def loss_wide(c, p):
+        return jnp.vdot(rl.featureless_basis_wide(c, p, plans, out_dim,
+                                                  interpret), cot)
+
+    out_n = rl.featureless_basis(comp, packed, plans, out_dim, False)
+    g_n = jax.grad(loss_narrow, argnums=(0, 1))(comp, packed)
+
+    if interpret:
+        monkeypatch.setenv("MRGCN_FORCE_PALLAS_GATHER", "1")
+    out_w = rl.featureless_basis_wide(comp, packed, plans, out_dim,
+                                      interpret)
+    np.testing.assert_allclose(np.asarray(out_w), np.asarray(out_n),
+                               rtol=2e-5, atol=2e-5)
+    g_w = jax.grad(loss_wide, argnums=(0, 1))(comp, packed)
+    for a, b in zip(g_w, g_n):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.parametrize("in_dim,out_dim,interpret",
+                         [(200, 200, False), (70, 200, False),
+                          (136, 40, True)])
+def test_dense_basis_fwd_and_grad(monkeypatch, in_dim, out_dim, interpret):
+    """dense_basis (stream-engine dense layer through the (n, B*out)
+    per-basis projections) matches the dense oracle with composed weights,
+    forward and grads wrt H, basis and comp."""
+    src, dst, rel, norm, n, R, E = random_graph(
+        seed=in_dim, **({"n": 24, "E": 80, "R": 4} if interpret else {}))
+    rng = np.random.default_rng(19)
+    B = 2
+    assert rspmm.packing_factor(in_dim) == 1  # wide rows only
+    k_out = rspmm.packing_factor(out_dim)
+    rb = 8 if interpret else 16
+    plans = rl.build_layer_plans(src, dst, rel, norm, n, 1, k_out,
+                                 row_block=rb, edge_block=8, kind="dense")
+    H = jnp.asarray(rng.standard_normal((n, in_dim)).astype(np.float32))
+    basis = jnp.asarray(rng.standard_normal(
+        (B, in_dim, out_dim)).astype(np.float32))
+    comp = jnp.asarray(rng.standard_normal((R, B)).astype(np.float32))
+    srcj, dstj = jnp.asarray(src), jnp.asarray(dst)
+    relj, normj = jnp.asarray(rel), jnp.asarray(norm)
+    cot = jnp.asarray(rng.standard_normal((n, out_dim)).astype(np.float32))
+
+    def loss_ref(H, basis, comp):
+        W = jnp.einsum("rb,bio->rio", comp, basis)
+        return jnp.vdot(dense_oracle(H, W, srcj, dstj, relj, normj, n),
+                        cot)
+
+    def loss_new(H, basis, comp):
+        return jnp.vdot(rl.dense_basis(H, basis, comp, plans, in_dim,
+                                       out_dim, interpret), cot)
+
+    W = jnp.einsum("rb,bio->rio", comp, basis)
+    want = dense_oracle(H, W, srcj, dstj, relj, normj, n)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(H, basis, comp)
+
+    if interpret:
+        monkeypatch.setenv("MRGCN_FORCE_PALLAS_GATHER", "1")
+    got = rl.dense_basis(H, basis, comp, plans, in_dim, out_dim, interpret)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-3)
+    g_new = jax.grad(loss_new, argnums=(0, 1, 2))(H, basis, comp)
+    for a, b in zip(g_new, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-3)
+
+
+def test_rgcn_model_dense_basis_flag_parity(monkeypatch):
+    """MRGCN_DENSE_BASIS=1 routes wide non-rel_const basis layers through
+    dense_basis — model loss and grads must match the relation-grouped
+    default (LP-shaped: hidden 200, plans rejected for rel_const)."""
+    import optax
+    from mrgcn_tpu.encodings.structure import group_by_relation
+    from mrgcn_tpu.models.rgcn import RGCN, EdgeBlock
+
+    # many relations over few row blocks: the composite (block, rel) slab
+    # split would pad far past the plain layout, so rel_const is rejected
+    # — the same regime as FB15k-237 (R~475 over ~29 blocks)
+    src, dst, rel, norm, n, R, E = random_graph(seed=37, R=40, E=500)
+    plans = rl.plans_for_layers(
+        src, dst, rel, norm, n, [(None, 200), (200, 200)],
+        row_block=16, edge_block=8,
+        identity_basis=rl.basis_stream_wanted(R, n, 200, 2))
+    plan_f = plans["1:1"]
+    # the test only makes sense if the driver would reject this plan for
+    # the rel_const dense path (the LP regime dense_basis targets)
+    assert not plan_f.fwd.rel_const
+    grouping = group_by_relation(src, dst, rel, norm, n, group_size=8)
+    edges = EdgeBlock(src=jnp.asarray(src), dst=jnp.asarray(dst),
+                      rel=jnp.asarray(rel), norm=jnp.asarray(norm),
+                      num_out=n, plans=plans,
+                      grp_src=jnp.asarray(grouping.src),
+                      grp_dst=jnp.asarray(grouping.dst),
+                      grp_norm=jnp.asarray(grouping.norm),
+                      group_rel=jnp.asarray(grouping.group_rel),
+                      group_size=grouping.group_size)
+    model = RGCN(hidden_dims=(200, 200), num_relations=R, num_nodes=n,
+                 num_bases=2, featureless=True, link_prediction=True)
+    params = model.init(jax.random.PRNGKey(0), None, edges)["params"]
+    cot = jnp.asarray(np.random.default_rng(8).standard_normal(
+        (n, 200)).astype(np.float32))
+
+    def loss(p):
+        return jnp.vdot(model.apply({"params": p}, None, edges), cot)
+
+    monkeypatch.delenv("MRGCN_DENSE_BASIS", raising=False)
+    l0, g0 = jax.value_and_grad(loss)(params)
+    monkeypatch.setenv("MRGCN_DENSE_BASIS", "1")
+    l1, g1 = jax.value_and_grad(loss)(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-3, atol=3e-3)
+
+
 def test_pallas_interpret_parity(monkeypatch):
     """The Pallas scatter/gather kernels (interpret mode) reproduce the XLA
     fallback bit-for-bit paths within f32 matmul tolerance."""

@@ -189,3 +189,67 @@ def test_sharded_plan_jit_under_mesh(mesh):
 
     v = step(packed, comp)
     assert np.isfinite(float(v))
+
+
+def test_basis_wide_sharded_matches_single(mesh, monkeypatch):
+    """MRGCN_WIDE_BASIS=1 (combined-plane featureless_basis) under
+    shard_map == the narrow single-device path."""
+    src, dst, rel, norm, n, R = _graph(seed=11)
+    B, out = 3, 16
+    plan1 = rl.build_layer_plans(src, dst, rel, norm, n, 8, 8,
+                                 kind="identity_basis")
+    plan8 = rl.shard_layer_plans(src, dst, rel, norm, n, 8, 8, 8,
+                                 kind="identity_basis")
+    rng = np.random.default_rng(12)
+    shape, _ = rspmm.packed_identity_shape(B, n, out)
+    packed = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    comp = jnp.asarray(rng.standard_normal((R, B)).astype(np.float32))
+
+    monkeypatch.delenv("MRGCN_WIDE_BASIS", raising=False)
+    out1 = _basis_planned(packed, comp, plan1, out)
+    g1 = jax.grad(lambda pk, c: (_basis_planned(pk, c, plan1, out)
+                                 ** 2).sum(), argnums=(0, 1))(packed, comp)
+
+    monkeypatch.setenv("MRGCN_WIDE_BASIS", "1")
+    out8 = _basis_planned_sharded(packed, comp, plan8, out, mesh)
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out1),
+                               rtol=1e-5, atol=1e-5)
+    g8 = jax.grad(lambda pk, c: (_basis_planned_sharded(
+        pk, c, plan8, out, mesh) ** 2).sum(), argnums=(0, 1))(packed, comp)
+    for a, b in zip(g8, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_dense_basis_sharded_matches_single(mesh):
+    """dense_basis (stream-engine dense layer for basis-decomposed wide
+    layers) under shard_map == single device, grads wrt H/basis/comp."""
+    from mrgcn_tpu.models.rgcn import _dense_basis_sharded
+
+    src, dst, rel, norm, n, R = _graph(seed=13)
+    B, in_dim, out = 2, 136, 136
+    plan1 = rl.build_layer_plans(src, dst, rel, norm, n, 1, 1,
+                                 kind="dense")
+    plan8 = rl.shard_layer_plans(src, dst, rel, norm, n, 1, 1, 8,
+                                 kind="dense")
+
+    rng = np.random.default_rng(14)
+    H = jnp.asarray(rng.standard_normal((n, in_dim)).astype(np.float32))
+    basis = jnp.asarray(rng.standard_normal(
+        (B, in_dim, out)).astype(np.float32))
+    comp = jnp.asarray(rng.standard_normal((R, B)).astype(np.float32))
+
+    out1 = rl.dense_basis(H, basis, comp, plan1, in_dim, out)
+    out8 = _dense_basis_sharded(H, basis, comp, plan8, in_dim, out, mesh)
+    np.testing.assert_allclose(np.asarray(out8), np.asarray(out1),
+                               rtol=1e-4, atol=1e-4)
+
+    g1 = jax.grad(lambda h, ba, c: (rl.dense_basis(
+        h, ba, c, plan1, in_dim, out) ** 2).sum(),
+        argnums=(0, 1, 2))(H, basis, comp)
+    g8 = jax.grad(lambda h, ba, c: (_dense_basis_sharded(
+        h, ba, c, plan8, in_dim, out, mesh) ** 2).sum(),
+        argnums=(0, 1, 2))(H, basis, comp)
+    for a, b in zip(g8, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)

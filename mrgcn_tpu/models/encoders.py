@@ -305,7 +305,7 @@ class _TextBlock(nn.Module):
     def __call__(self, x: jnp.ndarray,
                  attn_mask: jnp.ndarray) -> jnp.ndarray:
         y = nn.LayerNorm(dtype=self.dtype)(x)
-        if self.attn_impl == "plain":
+        if self.attn_impl in ("plain", "plain_fused"):
             # hand-rolled single-head attention on (N, L, d) directly: no
             # (N, L, h, dh) head split/merge, no per-head mask broadcast.
             # Measured (benchmarks/tpu_batch_r3m.py, v5e, N=8k L=128
@@ -313,13 +313,25 @@ class _TextBlock(nn.Module):
             # FREE (XLA reshapes it away); hypothesis refuted, flax stays
             # the default. Kept as the measured variant + numeric oracle
             # (tests/test_models.py pins equivalence at mapped params).
+            #
+            # "plain_fused" additionally merges the three (d, d)
+            # projections into ONE (d, 3d) matmul: the (N, L, d)
+            # activation is read once instead of three times forward, and
+            # the backward folds dW_q/dW_k/dW_v and the three d_y terms
+            # into single contractions (VERDICT r4 trial for the 28.6 ms
+            # attn matmul chain).
             assert self.num_heads == 1, "plain attention is single-head"
             assert attn_mask.ndim == 4 and attn_mask.shape[1:3] == (1, 1), \
                 "plain attention needs the key-only (N, 1, 1, L) mask"
             d = self.model_dim
-            q = nn.Dense(d, dtype=self.dtype, name="query")(y)
-            k = nn.Dense(d, dtype=self.dtype, name="key")(y)
-            v = nn.Dense(d, dtype=self.dtype, name="value")(y)
+            if self.attn_impl == "plain_fused":
+                qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(y)
+                q, k, v = (qkv[..., :d], qkv[..., d:2 * d],
+                           qkv[..., 2 * d:])
+            else:
+                q = nn.Dense(d, dtype=self.dtype, name="query")(y)
+                k = nn.Dense(d, dtype=self.dtype, name="key")(y)
+                v = nn.Dense(d, dtype=self.dtype, name="value")(y)
             logits = jnp.einsum("nld,nmd->nlm", q, k,
                                 preferred_element_type=jnp.float32)
             logits = logits / jnp.sqrt(jnp.float32(d))

@@ -378,7 +378,9 @@ def shard_layer_plans(src, dst, rel, norm, num_nodes: int, k_in: int,
                       k_out: int, num_shards: int,
                       row_block: int = ROW_BLOCK,
                       edge_block: int = EDGE_BLOCK,
-                      kind: str = "dense") -> LayerPlans:
+                      kind: str = "dense",
+                      num_out_nodes: Optional[int] = None,
+                      num_in_nodes: Optional[int] = None) -> LayerPlans:
     """Per-device sorted streams for mesh training, stacked on a leading
     shard axis.
 
@@ -407,7 +409,8 @@ def shard_layer_plans(src, dst, rel, norm, num_nodes: int, k_in: int,
         m = assign == d
         parts.append(build_layer_plans(
             src[m], dst[m], rel[m], norm[m], num_nodes, k_in, k_out,
-            row_block, edge_block, kind, rel_const_override=rc))
+            row_block, edge_block, kind, rel_const_override=rc,
+            num_out_nodes=num_out_nodes, num_in_nodes=num_in_nodes))
 
     def stack(get):
         streams = [get(p) for p in parts]
@@ -425,7 +428,9 @@ def shard_layer_plans(src, dst, rel, norm, num_nodes: int, k_in: int,
                       n_in_rows=first.n_in_rows,
                       n_out_rows=first.n_out_rows,
                       num_nodes=first.num_nodes,
-                      num_shards=num_shards, kind=kind)
+                      num_shards=num_shards, kind=kind,
+                      num_out_nodes=first.num_out_nodes,
+                      num_in_nodes=first.num_in_nodes)
 
 
 def unstack_plan(plan: LayerPlans) -> LayerPlans:
@@ -477,7 +482,8 @@ def plans_for_layers(src, dst, rel, norm, num_nodes: int, layer_shapes,
                      edge_block: int = EDGE_BLOCK,
                      identity_basis: bool = False,
                      num_out_nodes: Optional[int] = None,
-                     num_in_nodes: Optional[int] = None) -> dict:
+                     num_in_nodes: Optional[int] = None,
+                     num_shards: int = 1) -> dict:
     """One :class:`LayerPlans` per distinct (k_in, k_out) pair, keyed
     ``"kin:kout"``. ``layer_shapes``: iterable of (in_width, out_width);
     ``in_width=None`` marks the featureless/identity gather (k_in ==
@@ -485,7 +491,9 @@ def plans_for_layers(src, dst, rel, norm, num_nodes: int, layer_shapes,
     widths share. ``identity_basis=True`` builds the featureless plans
     with a real dst-sorted bwd_h stream (key suffix ``:idb``) for
     :func:`featureless_basis` — used when the composed table would not
-    fit HBM (see :func:`composed_table_elems`)."""
+    fit HBM (see :func:`composed_table_elems`). ``num_shards > 1`` builds
+    per-device stacked streams (:func:`shard_layer_plans`) for mesh
+    training."""
     from mrgcn_tpu.ops.rspmm import packing_factor
     id_kind = "identity_basis" if identity_basis else "identity"
     id_key = "idb" if identity_basis else "id"
@@ -496,12 +504,20 @@ def plans_for_layers(src, dst, rel, norm, num_nodes: int, layer_shapes,
             pairs.add((k_out, k_out, id_kind))
         else:
             pairs.add((packing_factor(int(in_w)), k_out, "dense"))
+
+    def build(ki, ko, kind):
+        if num_shards > 1:
+            return shard_layer_plans(
+                src, dst, rel, norm, num_nodes, ki, ko, num_shards,
+                row_block=row_block, edge_block=edge_block, kind=kind,
+                num_out_nodes=num_out_nodes, num_in_nodes=num_in_nodes)
+        return build_layer_plans(
+            src, dst, rel, norm, num_nodes, ki, ko, row_block=row_block,
+            edge_block=edge_block, kind=kind,
+            num_out_nodes=num_out_nodes, num_in_nodes=num_in_nodes)
+
     return {f"{ki}:{ko}:{id_key}" if kind == id_kind else f"{ki}:{ko}":
-            build_layer_plans(src, dst, rel, norm, num_nodes, ki, ko,
-                              row_block=row_block, edge_block=edge_block,
-                              kind=kind, num_out_nodes=num_out_nodes,
-                              num_in_nodes=num_in_nodes)
-            for ki, ko, kind in sorted(pairs)}
+            build(ki, ko, kind) for ki, ko, kind in sorted(pairs)}
 
 
 # --------------------------------------------------------------------------

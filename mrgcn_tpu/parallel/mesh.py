@@ -125,6 +125,23 @@ def shard_plans(mesh: Mesh, inputs) -> Optional[Dict]:
     return out
 
 
+def shard_restricted_block(mesh: Mesh, block: EdgeBlock) -> EdgeBlock:
+    """Place one frontier-restricted EdgeBlock
+    (tasks/common.restricted_layer_edges) on the mesh: pad + shard its
+    edge/grouped arrays over ``data`` and device_put its (already
+    per-shard stacked) plans with the leading shard axis on ``data`` —
+    the multi-chip twin of shard_inputs for the restricted chain."""
+    import jax.numpy as jnp
+    plans = None
+    if block.plans:
+        spec = NamedSharding(mesh, P("data"))
+        plans = {k: jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), spec), pl)
+            for k, pl in block.plans.items()}
+    padded = pad_edges_for_mesh(block, mesh.shape["data"])
+    return shard_edges(mesh, padded, plans=plans)
+
+
 def make_mesh(n_devices: Optional[int] = None,
               model_axis: int = 1) -> Mesh:
     """1-or-2-D mesh over the first ``n_devices`` devices:

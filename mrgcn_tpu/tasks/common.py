@@ -166,7 +166,8 @@ def restricted_layer_edges(structure, out_nodes: np.ndarray,
                            X_width: int = 0, featureless: bool = True,
                            identity_basis: bool = False,
                            group_size: int = 64,
-                           min_shrink: float = 0.9) -> Tuple:
+                           min_shrink: float = 0.9,
+                           mesh=None) -> Tuple:
     """Per-layer EdgeBlocks for a full-batch pass whose loss reads only
     ``out_nodes`` (sorted unique global node ids).
 
@@ -184,6 +185,12 @@ def restricted_layer_edges(structure, out_nodes: np.ndarray,
     This is the full-batch analogue of the reference's mini-batch BFS
     sampling (reference: mrgcn/data/batch.py:185-197) — same restriction,
     but compiled once as static streams instead of per-batch subgraphs.
+
+    ``mesh``: a ``jax.sharding.Mesh`` — the restricted chain is built for
+    multi-chip training: layer-0 plans become per-shard stacked streams
+    (the shard_map engine, same as relational.shard_layer_plans for the
+    full edge set) and every restricted block's edge/grouped arrays are
+    padded and sharded over the data axis.
     """
     from mrgcn_tpu.encodings.structure import group_by_relation
     from mrgcn_tpu.ops import relational as rl
@@ -210,7 +217,9 @@ def restricted_layer_edges(structure, out_nodes: np.ndarray,
                 plans = rl.plans_for_layers(
                     src_l, dst_l, rel_l, norm_l, n, shapes,
                     identity_basis=identity_basis,
-                    num_out_nodes=num_out)
+                    num_out_nodes=num_out,
+                    num_shards=(mesh.shape["data"] if mesh is not None
+                                else 1))
             grouping = group_by_relation(src_l, dst_l, rel_l, norm_l,
                                          num_out, group_size=group_size)
             blocks[0] = EdgeBlock(
@@ -254,6 +263,10 @@ def restricted_layer_edges(structure, out_nodes: np.ndarray,
             group_rel=jnp.asarray(grouping.group_rel),
             group_size=grouping.group_size)
         F_next = F_cur
+    if mesh is not None:
+        from mrgcn_tpu.parallel.mesh import shard_restricted_block
+        blocks = [b if b is full_edges
+                  else shard_restricted_block(mesh, b) for b in blocks]
     return tuple(blocks)
 
 

@@ -121,11 +121,13 @@ def make_batches(inputs: RunInputs, label_rows: np.ndarray, batchsize: int,
         # frontier-restricted layers: every layer aggregates only at the
         # rows the loss (transitively) reads — identical loss/gradients,
         # a fraction of the edge traffic (see
-        # tasks/common.restricted_layer_edges). Skipped under a mesh (the
-        # sharded plans cover the full edge set) and when labels cover
-        # every node anyway.
+        # tasks/common.restricted_layer_edges). Under a mesh the
+        # restricted chain is built with per-shard stacked layer-0 plans
+        # and data-sharded edge/grouped arrays, so multi-chip NC runs the
+        # same fast program as single-chip (round 3 skipped restriction
+        # here and fell back to the full-edge program). Skipped only when
+        # labels cover every node anyway.
         restrict = (os.environ.get("MRGCN_RESTRICT_OUT", "1") != "0"
-                    and getattr(inputs.edges, "mesh", None) is None
                     and inputs.structure is not None
                     and len(uniq) < inputs.num_nodes)
         if restrict:
@@ -135,7 +137,8 @@ def make_batches(inputs: RunInputs, label_rows: np.ndarray, batchsize: int,
                 first_dim=(inputs.hidden_dims[0]
                            if inputs.hidden_dims else None),
                 X_width=inputs.X_width, featureless=inputs.featureless,
-                identity_basis=inputs.identity_basis)
+                identity_basis=inputs.identity_basis,
+                mesh=getattr(inputs.edges, "mesh", None))
             idx, targets, weights = _pad_labels(inverse.astype(np.int32),
                                                 label_rows[:, 1])
         else:

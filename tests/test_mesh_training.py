@@ -135,6 +135,103 @@ def test_artifact_survives_repeated_runs(nc_artifact):
     assert r1 == r2, f"artifact mutated between runs: {r1} vs {r2}"
 
 
+def _one_nc_step(art, config, mesh_spec):
+    """One full-batch NC train step through the driver's own assembly
+    (prepare_inputs -> shard_inputs -> make_batches -> make_steps).
+    Returns (loss, acc, params_after) — params_after captures the
+    gradients through the optimizer update."""
+    import jax.numpy as jnp
+
+    from mrgcn_tpu.parallel import mesh as pmesh
+    from mrgcn_tpu.tasks import utils as tutils
+    from mrgcn_tpu.tasks.common import prepare_inputs
+    from mrgcn_tpu.tasks.node_classification import (build_model,
+                                                     make_batches,
+                                                     make_steps)
+
+    config = _with_mesh(config, mesh_spec) if mesh_spec else \
+        copy.deepcopy(config)
+    inputs = prepare_inputs(art, config, featureless=False)
+    mesh = pmesh.mesh_from_config(config)
+    if mesh is not None:
+        inputs = pmesh.shard_inputs(mesh, inputs)
+
+    Y_train = np.asarray(art.Y["train"]).reshape(-1, 2)
+    model = build_model(inputs, config, len(art.class_map))
+    variables = model.init(jax.random.PRNGKey(3), inputs.features,
+                           inputs.edges)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    if mesh is not None:
+        params = pmesh.shard_params(mesh, params)
+    import optax
+    optimizer = optax.adam(0.01)
+    opt_state = optimizer.init(params)
+    model = tutils.with_gate_skip(model, params)
+    train_step, _, _, _ = make_steps(model, optimizer, config)
+
+    num_layers = len(model.hidden_dims)
+    batches = make_batches(inputs, Y_train, -1, num_layers)
+    assert len(batches) == 1
+    b = batches[0]
+    params, batch_stats, opt_state, loss, acc = train_step(
+        params, batch_stats, opt_state, b.features, b.edges, b.idx,
+        b.targets, b.weights, jax.random.PRNGKey(7))
+    return float(loss), float(acc), jax.tree.map(np.asarray, params), b
+
+
+def _assert_params_close(p1, p8, tol=2e-4):
+    leaves1 = jax.tree_util.tree_leaves_with_path(p1)
+    leaves8 = jax.tree_util.tree_leaves(p8)
+    assert len(leaves1) == len(leaves8)
+    for (path, a), b in zip(leaves1, leaves8):
+        np.testing.assert_allclose(
+            a, b, rtol=tol, atol=tol,
+            err_msg=f"param {jax.tree_util.keystr(path)} diverged")
+
+
+def test_nc_mesh_plans_on_step_parity(nc_artifact, monkeypatch):
+    """VERDICT r3 item 3: the plan ENGINE under the mesh, at driver level.
+    One train step with MRGCN_GATHER_PLAN=1 (default) and frontier
+    restriction OFF: 8-device mesh == single device to a tolerance that
+    absorbs psum reduction order (op-level pins show 1e-4 holds)."""
+    art, config = nc_artifact
+    monkeypatch.setenv("MRGCN_GATHER_PLAN", "1")
+    monkeypatch.setenv("MRGCN_RESTRICT_OUT", "0")
+    loss1, acc1, p1, _ = _one_nc_step(art, config, None)
+    loss8, acc8, p8, _ = _one_nc_step(art, config, "8")
+    assert abs(loss1 - loss8) < 1e-4 * max(1.0, abs(loss1)), (loss1, loss8)
+    assert abs(acc1 - acc8) < 1e-6
+    _assert_params_close(p1, p8)
+
+
+def test_nc_mesh_restricted_step_parity(nc_artifact, monkeypatch):
+    """VERDICT r3 item 2: the frontier-restricted chain under the mesh.
+    The restricted mesh step must match BOTH the restricted single-device
+    step and the unrestricted mesh step (restriction is exact: dropped
+    rows receive zero cotangent either way)."""
+    art, config = nc_artifact
+    monkeypatch.setenv("MRGCN_GATHER_PLAN", "1")
+    monkeypatch.setenv("MRGCN_RESTRICT_OUT", "1")
+    loss1, acc1, p1, b1 = _one_nc_step(art, config, None)
+    loss8, acc8, p8, b8 = _one_nc_step(art, config, "8")
+    # the mesh run must actually BE restricted (per-layer blocks), with
+    # per-shard stacked layer-0 plans
+    assert isinstance(b8.edges, tuple)
+    l0 = b8.edges[0]
+    assert l0.plans and next(iter(l0.plans.values())).num_shards == 8
+    assert l0.mesh is not None
+    assert abs(loss1 - loss8) < 1e-4 * max(1.0, abs(loss1)), (loss1, loss8)
+    assert abs(acc1 - acc8) < 1e-6
+    _assert_params_close(p1, p8)
+
+    monkeypatch.setenv("MRGCN_RESTRICT_OUT", "0")
+    loss8u, _, p8u, _ = _one_nc_step(art, config, "8")
+    assert abs(loss8 - loss8u) < 1e-4 * max(1.0, abs(loss8)), (loss8,
+                                                               loss8u)
+    _assert_params_close(p8, p8u, tol=5e-4)
+
+
 def test_lp_mesh_parity(lp_artifact, monkeypatch):
     art, config = lp_artifact
     config = copy.deepcopy(config)

@@ -337,6 +337,41 @@ def test_text_encoder_plain_attention_matches_flax():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_text_encoder_plain_fused_matches_plain():
+    """attn_impl='plain_fused' (one (d, 3d) QKV matmul) computes the same
+    function as 'plain' once the three (d, d) kernels are concatenated
+    into the fused layout. f32 body for a tight check."""
+    from mrgcn_tpu.models.encoders import TextEncoder
+
+    rng = np.random.default_rng(9)
+    tokens = rng.integers(0, 250, (5, 12)).astype(np.int32)
+    for i, keep in enumerate([12, 7, 3, 9, 1]):
+        tokens[i, keep:] = 256
+    tokens = jnp.asarray(tokens)
+
+    kw = dict(output_dim=4, model_dim=16, num_heads=1, num_layers=2,
+              max_len=12, dtype=jnp.float32)
+    enc_plain = TextEncoder(attn_impl="plain", **kw)
+    enc_fused = TextEncoder(attn_impl="plain_fused", **kw)
+    v_plain = enc_plain.init(jax.random.PRNGKey(0), tokens)
+
+    params = jax.tree_util.tree_map(lambda x: x, v_plain["params"])
+    for i in range(kw["num_layers"]):
+        blk = dict(params[f"_TextBlock_{i}"])
+        kernels = [blk.pop(n) for n in ("query", "key", "value")]
+        blk["qkv"] = {
+            "kernel": jnp.concatenate([k["kernel"] for k in kernels],
+                                      axis=1),
+            "bias": jnp.concatenate([k["bias"] for k in kernels])}
+        params[f"_TextBlock_{i}"] = blk
+
+    out_plain = enc_plain.apply(v_plain, tokens)
+    out_fused = enc_fused.apply({"params": params}, tokens)
+    np.testing.assert_allclose(np.asarray(out_plain),
+                               np.asarray(out_fused),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_image_cnn_dense_blocks():
     """block_impl='dense' trains: forward shape, finite grads, param tree
     differs from the separable default (plain 3x3 convs, no depthwise)."""

@@ -254,3 +254,33 @@ def test_lp_mesh_parity(lp_artifact, monkeypatch):
     assert abs(mrr1["flt"] - mrr8["flt"]) < 5e-3
     agree = np.mean(np.asarray(ranks1["raw"]) == np.asarray(ranks8["raw"]))
     assert agree > 0.95, f"only {agree:.2%} of raw ranks agree"
+
+
+def test_lp_mesh_minibatch_ranking_parity(lp_artifact, monkeypatch):
+    """VERDICT r3 item 7: LP ranking under a mini-batch mesh — node-sliced
+    gcn_batchsize batches with locally remapped triples, filtered ranking
+    via distmult.launch_ranks over sharded embeddings. Rank-for-rank
+    agreement with the single-device run pins the candidate masking."""
+    art, config = lp_artifact
+    config = copy.deepcopy(config)
+    config["model"]["epoch"] = 6
+    config["task"]["gcn_batchsize"] = 12
+    config["task"]["mrr_batchsize"] = 20
+
+    tsv = TSV("/dev/null", "w", dry_run=True)
+    _, _, loss1, mrr1, hits1, ranks1 = link_prediction.run(
+        art, config, tsv, featureless=True, test_split="test",
+        checkpoint=None, seed=5)
+
+    tsv = TSV("/dev/null", "w", dry_run=True)
+    _, _, loss8, mrr8, hits8, ranks8 = link_prediction.run(
+        art, _with_mesh(config, "8"), tsv, featureless=True,
+        test_split="test", checkpoint=None, seed=5)
+
+    assert abs(loss1 - loss8) < 5e-3, (loss1, loss8)
+    assert abs(mrr1["raw"] - mrr8["raw"]) < 5e-3, (mrr1, mrr8)
+    assert abs(mrr1["flt"] - mrr8["flt"]) < 5e-3
+    for kind in ("raw", "flt"):
+        agree = np.mean(np.asarray(ranks1[kind])
+                        == np.asarray(ranks8[kind]))
+        assert agree > 0.95, f"only {agree:.2%} of {kind} ranks agree"

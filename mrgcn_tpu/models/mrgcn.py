@@ -131,10 +131,16 @@ class MRGCN(nn.Module):
                         backbone=module, backbone_params=frozen_params,
                         output_dim=dim_out, p_dropout=dropout, name=name)
                 else:
+                    import os
                     encoders[name] = TextEncoder(
                         output_dim=dim_out, p_dropout=dropout,
                         vocab_size=self.text_vocab_size,
-                        pad_id=self.text_pad_id, name=name)
+                        pad_id=self.text_pad_id,
+                        # measured-variant override (equivalence pinned in
+                        # tests/test_models.py): "plain"/"plain_fused"/
+                        # "flash"; default "auto" = flax attention
+                        attn_impl=os.environ.get("MRGCN_TEXT_ATTN",
+                                                 "auto"), name=name)
             elif datatype == "ogc.wktLiteral":
                 _, dim_out, size, dropout = args
                 encoders[name] = TCNN(output_dim=dim_out, size=size,

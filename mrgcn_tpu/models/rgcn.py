@@ -321,19 +321,31 @@ class RGCNLayer(nn.Module):
             import os
 
             from mrgcn_tpu.ops import relational as rl
+            mode = os.environ.get("MRGCN_DENSE_BASIS", "hybrid")
             if (comp_f is not None and plan_f.k_in == 1
                     and plan_f.kind == "dense"
                     and 0 < self.num_bases <= rl.MAX_BASIS_STREAMS
-                    and os.environ.get("MRGCN_DENSE_BASIS", "0") != "0"):
+                    and mode != "0"
+                    and (mode != "hybrid" or edges.grouped)):
                 dense_basis_plan = plan_f
             plan_f = None
         agg = None
         if dense_basis_plan is not None:
             from mrgcn_tpu.ops import relational as rl
             if dense_basis_plan.num_shards > 1 and edges.mesh is not None:
+                # sharded path: the stream op per shard (the grouped-bwd
+                # hybrid needs the grouped arrays aligned with the shard
+                # deal, which shard_inputs does not guarantee)
                 agg = _dense_basis_sharded(H, weight_f, comp_f,
                                            dense_basis_plan, H.shape[-1],
                                            self.out_dim, edges.mesh)
+            elif mode == "hybrid":
+                # measured-best halves: stream forward + grouped backward
+                # (v5e FINAL_L2_AB, benchmarks/tpu_batch_r4a.py)
+                agg = rl.dense_basis_hybrid(
+                    H, weight_f, comp_f, dense_basis_plan, edges.grp_src,
+                    edges.grp_dst, edges.grp_norm, edges.group_rel,
+                    edges.group_size, H.shape[-1], self.out_dim)
             else:
                 agg = rl.dense_basis(H, weight_f, comp_f, dense_basis_plan,
                                      H.shape[-1], self.out_dim)

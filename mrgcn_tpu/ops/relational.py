@@ -921,6 +921,81 @@ def featureless_basis_wide(comp: jnp.ndarray, packed: jnp.ndarray,
                                   out_dim, interpret)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def dense_basis_hybrid(H: jnp.ndarray, basis: jnp.ndarray,
+                       comp: jnp.ndarray, plans: LayerPlans,
+                       grp_src: jnp.ndarray, grp_dst: jnp.ndarray,
+                       grp_norm: jnp.ndarray, group_rel: jnp.ndarray,
+                       group_size: int, in_dim: int, out_dim: int,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Measured-best halves of the two dense formulations (v5e,
+    benchmarks/tpu_batch_r4a.py FINAL_L2_AB at FB15k-237 scale):
+
+      * FORWARD on the stream engine through the (n, B*out) per-basis
+        projections (:func:`dense_basis`): 11.4 ms vs the
+        relation-grouped 15.7 — the sorted place-scatter beats the
+        unsorted segment-sum.
+      * BACKWARD in the relation-grouped formulation (what autodiff of
+        :func:`mrgcn_tpu.ops.rspmm.transform_aggregate_grouped`
+        produces): its d(H, W) chain costs 17.5 ms incremental vs the
+        stream backward's 32.4 (the wide (E, B*L) cotangent passes are
+        byte-bound — combining planes halves transactions but not
+        bytes).
+
+    Needs both the plans (stream fwd) and the relation-grouped arrays
+    (grouped bwd). Math identical to either formulation; gradient parity
+    pinned in tests/test_relational.py.
+    """
+    return dense_basis(H, basis, comp, plans, in_dim, out_dim, interpret)
+
+
+def _dense_basis_hybrid_fwd(H, basis, comp, plans, grp_src, grp_dst,
+                            grp_norm, group_rel, group_size, in_dim,
+                            out_dim, interpret):
+    out = dense_basis_hybrid(H, basis, comp, plans, grp_src, grp_dst,
+                             grp_norm, group_rel, group_size, in_dim,
+                             out_dim, interpret)
+    return out, (H, basis, comp, grp_src, grp_dst, grp_norm, group_rel)
+
+
+def _dense_basis_hybrid_bwd(group_size, in_dim, out_dim, interpret, res,
+                            d_out):
+    from mrgcn_tpu.ops import rspmm
+    H, basis, comp, grp_src, grp_dst, grp_norm, group_rel = res
+    G = group_rel.shape[0]
+    num_nodes = H.shape[0]
+    hp = jax.lax.Precision.HIGHEST
+
+    W = rspmm._compose_weights(basis, comp)            # (R, in, out)
+    d_m = d_out[grp_src] * grp_norm[:, None]           # (E, out)
+    d_mg = d_m.reshape(G, group_size, out_dim)
+    Wg = W[group_rel]                                  # (G, in, out)
+
+    # ---- d_H: per-group d_m @ W^T, unsorted segment-sum over grp_dst
+    d_Hg = jax.lax.dot_general(
+        d_mg, Wg, (((2,), (2,)), ((0,), (0,))), precision=hp,
+        preferred_element_type=jnp.float32)            # (G, gs, in)
+    d_H = jax.ops.segment_sum(d_Hg.reshape(G * group_size, in_dim),
+                              grp_dst, num_segments=num_nodes)
+
+    # ---- d_W: per-group Hg^T @ d_m, segment-sum over group_rel, then
+    # the tiny (R, in, out) -> (d_comp, d_basis) einsums
+    Hg = H[grp_dst].reshape(G, group_size, in_dim)
+    d_Wg = jax.lax.dot_general(
+        Hg, d_mg, (((1,), (1,)), ((0,), (0,))), precision=hp,
+        preferred_element_type=jnp.float32)            # (G, in, out)
+    d_W = jax.ops.segment_sum(d_Wg.reshape(G, in_dim * out_dim),
+                              group_rel, num_segments=W.shape[0])
+    d_W = d_W.reshape(W.shape)
+    d_comp = jnp.einsum("rio,bio->rb", d_W, basis, precision=hp)
+    d_basis = jnp.einsum("rb,rio->bio", comp, d_W, precision=hp)
+    return (d_H.astype(H.dtype), d_basis.astype(basis.dtype),
+            d_comp.astype(comp.dtype), None, None, None, None, None)
+
+
+dense_basis_hybrid.defvjp(_dense_basis_hybrid_fwd, _dense_basis_hybrid_bwd)
+
+
 def dense_basis(H: jnp.ndarray, basis: jnp.ndarray, comp: jnp.ndarray,
                 plans: LayerPlans, in_dim: int, out_dim: int,
                 interpret: bool = False) -> jnp.ndarray:

@@ -301,6 +301,49 @@ def test_dense_basis_fwd_and_grad(monkeypatch, in_dim, out_dim, interpret):
                                    rtol=3e-4, atol=3e-3)
 
 
+def test_dense_basis_hybrid_fwd_and_grad():
+    """dense_basis_hybrid (stream forward + relation-grouped backward)
+    matches the dense oracle, forward and grads wrt H/basis/comp."""
+    from mrgcn_tpu.encodings.structure import group_by_relation
+
+    src, dst, rel, norm, n, R, E = random_graph(seed=41)
+    rng = np.random.default_rng(42)
+    B, in_dim, out_dim = 2, 200, 200
+    plans = rl.build_layer_plans(src, dst, rel, norm, n, 1, 1,
+                                 row_block=16, edge_block=8, kind="dense")
+    g = group_by_relation(src, dst, rel, norm, n, group_size=8)
+    H = jnp.asarray(rng.standard_normal((n, in_dim)).astype(np.float32))
+    basis = jnp.asarray(rng.standard_normal(
+        (B, in_dim, out_dim)).astype(np.float32))
+    comp = jnp.asarray(rng.standard_normal((R, B)).astype(np.float32))
+    srcj, dstj = jnp.asarray(src), jnp.asarray(dst)
+    relj, normj = jnp.asarray(rel), jnp.asarray(norm)
+    cot = jnp.asarray(rng.standard_normal((n, out_dim)).astype(np.float32))
+    gargs = (jnp.asarray(g.src), jnp.asarray(g.dst), jnp.asarray(g.norm),
+             jnp.asarray(g.group_rel), g.group_size)
+
+    def loss_ref(H, basis, comp):
+        W = jnp.einsum("rb,bio->rio", comp, basis)
+        return jnp.vdot(dense_oracle(H, W, srcj, dstj, relj, normj, n),
+                        cot)
+
+    def loss_new(H, basis, comp):
+        return jnp.vdot(rl.dense_basis_hybrid(
+            H, basis, comp, plans, *gargs, in_dim, out_dim), cot)
+
+    W = jnp.einsum("rb,bio->rio", comp, basis)
+    want = dense_oracle(H, W, srcj, dstj, relj, normj, n)
+    got = rl.dense_basis_hybrid(H, basis, comp, plans, *gargs, in_dim,
+                                out_dim)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-3)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(H, basis, comp)
+    g_new = jax.grad(loss_new, argnums=(0, 1, 2))(H, basis, comp)
+    for a, b in zip(g_new, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-3)
+
+
 def test_rgcn_model_dense_basis_flag_parity(monkeypatch):
     """MRGCN_DENSE_BASIS=1 routes wide non-rel_const basis layers through
     dense_basis — model loss and grads must match the relation-grouped
@@ -339,15 +382,18 @@ def test_rgcn_model_dense_basis_flag_parity(monkeypatch):
     def loss(p):
         return jnp.vdot(model.apply({"params": p}, None, edges), cot)
 
-    monkeypatch.delenv("MRGCN_DENSE_BASIS", raising=False)
+    monkeypatch.setenv("MRGCN_DENSE_BASIS", "0")        # grouped
     l0, g0 = jax.value_and_grad(loss)(params)
-    monkeypatch.setenv("MRGCN_DENSE_BASIS", "1")
-    l1, g1 = jax.value_and_grad(loss)(params)
-    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-4)
-    for a, b in zip(jax.tree_util.tree_leaves(g0),
-                    jax.tree_util.tree_leaves(g1)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=3e-3, atol=3e-3)
+    for mode in ("1", "hybrid"):                        # stream / hybrid
+        monkeypatch.setenv("MRGCN_DENSE_BASIS", mode)
+        l1, g1 = jax.value_and_grad(loss)(params)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-4,
+                                   err_msg=f"mode {mode}")
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-3, atol=3e-3,
+                                       err_msg=f"mode {mode}")
 
 
 def test_pallas_interpret_parity(monkeypatch):

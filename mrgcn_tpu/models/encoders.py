@@ -219,9 +219,13 @@ class TextEncoder(nn.Module):
     key_only_mask: bool = True
     # attention execution: "xla" (flax dot-product attention), "flash"
     # (Pallas TPU FlashAttention — attention probabilities never touch
-    # HBM; padding via segment ids), or "auto" (= xla). Both give the
-    # same math for valid positions; flash keeps f32 softmax statistics
-    # in-kernel.
+    # HBM; padding via segment ids), "plain"/"plain_fused" (hand-rolled
+    # single-head paths), or "auto" — plain_fused when single-head with
+    # the key-only mask (measured v5e, benchmarks/tpu_batch_r4b.py:
+    # fwd+bwd 85.4 ms vs flax 89.4 at N=8k, L=128 — the fused (d, 3d)
+    # QKV matmul reads the activation once instead of three times),
+    # flax otherwise. All give the same math for valid positions; flash
+    # keeps f32 softmax statistics in-kernel.
     #
     # Measured (benchmarks/micro_text_attn.py, v5e, fwd+bwd): at N=8k
     # L=128, XLA 117 ms vs flash 304 ms; at N=2k L=512, XLA 244 ms vs
@@ -270,13 +274,20 @@ class TextEncoder(nn.Module):
 
         attn_mask = mask[:, None, None, :] if self.key_only_mask \
             else nn.make_attention_mask(mask, mask)
+        attn_impl = self.attn_impl
+        if attn_impl == "auto":
+            # measured default (tpu_batch_r4b FINAL_ENC_AB): the fused
+            # single-head path wins 85.4 vs 89.4 ms where it applies
+            attn_impl = "plain_fused" if (self.num_heads == 1
+                                          and self.key_only_mask) \
+                else "xla"
         block_cls = nn.remat(_TextBlock) if self.remat else _TextBlock
         for i in range(self.num_layers):
             # explicit name: keeps the param tree identical whether or not
             # the block is remat-wrapped (nn.remat mangles the auto name)
             x = block_cls(model_dim=self.model_dim,
                           num_heads=self.num_heads, dtype=self.dtype,
-                          attn_impl=self.attn_impl,
+                          attn_impl=attn_impl,
                           deterministic=not train,
                           name=f"_TextBlock_{i}")(x, attn_mask)
         x = nn.LayerNorm(dtype=self.dtype)(x)

@@ -321,7 +321,12 @@ class RGCNLayer(nn.Module):
             import os
 
             from mrgcn_tpu.ops import relational as rl
-            mode = os.environ.get("MRGCN_DENSE_BASIS", "hybrid")
+            # default grouped: the hybrid's hand-written grouped backward
+            # measured 90.0 ms fwd+bwd vs autodiff-grouped 33.6 (v5e,
+            # tpu_batch_r4c FINAL_HYBRID_AB — LP epoch 134 vs 94.7);
+            # r4d decomposes the pathology. "hybrid"/"1" stay as the
+            # measured variants.
+            mode = os.environ.get("MRGCN_DENSE_BASIS", "0")
             if (comp_f is not None and plan_f.k_in == 1
                     and plan_f.kind == "dense"
                     and 0 < self.num_bases <= rl.MAX_BASIS_STREAMS

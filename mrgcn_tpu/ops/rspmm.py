@@ -160,7 +160,11 @@ def transform_aggregate_grouped(H: jnp.ndarray, grp_src: jnp.ndarray,
                                 num_nodes: int, basis: jnp.ndarray,
                                 comp: Optional[jnp.ndarray] = None
                                 ) -> jnp.ndarray:
-    """Relation-grouped dense aggregation — the fast path for feature layers.
+    """Relation-grouped dense aggregation — the fast path for rel_const-less
+    feature layers without basis decomposition (basis-decomposed wide
+    layers default to ops/relational.dense_basis_hybrid, which keeps this
+    formulation for the backward and the sorted-stream forward — measured
+    v5e A/B in benchmarks/tpu_batch_r4a.py).
 
     Edges are pre-sorted by relation and padded so each consecutive group of
     ``group_size`` edges shares a relation (see

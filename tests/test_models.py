@@ -313,7 +313,7 @@ def test_text_encoder_plain_attention_matches_flax():
 
     kw = dict(output_dim=4, model_dim=16, num_heads=1, num_layers=2,
               max_len=12, dtype=jnp.float32)
-    enc_flax = TextEncoder(attn_impl="auto", **kw)
+    enc_flax = TextEncoder(attn_impl="xla", **kw)
     enc_plain = TextEncoder(attn_impl="plain", **kw)
     v_flax = enc_flax.init(jax.random.PRNGKey(0), tokens)
 

@@ -316,7 +316,7 @@ class _TextBlock(nn.Module):
     def __call__(self, x: jnp.ndarray,
                  attn_mask: jnp.ndarray) -> jnp.ndarray:
         y = nn.LayerNorm(dtype=self.dtype)(x)
-        if self.attn_impl in ("plain", "plain_fused"):
+        if self.attn_impl in ("plain", "plain_fused", "fused_core"):
             # hand-rolled single-head attention on (N, L, d) directly: no
             # (N, L, h, dh) head split/merge, no per-head mask broadcast.
             # Measured (benchmarks/tpu_batch_r3m.py, v5e, N=8k L=128
@@ -335,7 +335,7 @@ class _TextBlock(nn.Module):
             assert attn_mask.ndim == 4 and attn_mask.shape[1:3] == (1, 1), \
                 "plain attention needs the key-only (N, 1, 1, L) mask"
             d = self.model_dim
-            if self.attn_impl == "plain_fused":
+            if self.attn_impl in ("plain_fused", "fused_core"):
                 qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(y)
                 q, k, v = (qkv[..., :d], qkv[..., d:2 * d],
                            qkv[..., 2 * d:])
@@ -343,13 +343,30 @@ class _TextBlock(nn.Module):
                 q = nn.Dense(d, dtype=self.dtype, name="query")(y)
                 k = nn.Dense(d, dtype=self.dtype, name="key")(y)
                 v = nn.Dense(d, dtype=self.dtype, name="value")(y)
-            logits = jnp.einsum("nld,nmd->nlm", q, k,
-                                preferred_element_type=jnp.float32)
-            logits = logits / jnp.sqrt(jnp.float32(d))
-            keys_ok = attn_mask.reshape(attn_mask.shape[0], 1, -1)
-            logits = jnp.where(keys_ok, logits, jnp.float32(-1e9))
-            p = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-            y = jnp.einsum("nlm,nmd->nld", p, v)
+            keys_valid = attn_mask.reshape(attn_mask.shape[0], -1)
+            if self.attn_impl == "fused_core":
+                # multi-sequence-per-program Pallas kernel: the (L, L)
+                # probabilities never touch HBM (ops/attention.py); XLA
+                # chain on non-TPU backends, interpret mode in tests
+                from mrgcn_tpu.ops.attention import (fused_attention,
+                                                     xla_attention)
+                from mrgcn_tpu.ops.pallas_gather import _use_pallas
+                if _use_pallas():
+                    import os
+                    y = fused_attention(
+                        q, k, v, keys_valid,
+                        interpret=os.environ.get(
+                            "MRGCN_FORCE_PALLAS_GATHER") == "1")
+                else:
+                    y = xla_attention(q, k, v, keys_valid)
+            else:
+                logits = jnp.einsum("nld,nmd->nlm", q, k,
+                                    preferred_element_type=jnp.float32)
+                logits = logits / jnp.sqrt(jnp.float32(d))
+                logits = jnp.where(keys_valid[:, None, :], logits,
+                                   jnp.float32(-1e9))
+                p = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+                y = jnp.einsum("nlm,nmd->nld", p, v)
             y = nn.Dense(d, dtype=self.dtype, name="out")(y)
         else:
             attention_fn = _flash_attention_fn \

@@ -377,10 +377,51 @@ class _TextBlock(nn.Module):
                 deterministic=self.deterministic)(y, y, mask=attn_mask)
         x = x + y
         y = nn.LayerNorm(dtype=self.dtype)(x)
-        y = nn.Dense(4 * self.model_dim, dtype=self.dtype)(y)
-        y = nn.gelu(y)
-        y = nn.Dense(self.model_dim, dtype=self.dtype)(y)
+        import os
+        if os.environ.get("MRGCN_TEXT_MLP") == "fused":
+            # fused MLP kernel: the (rows, 4d) hidden tensor stays in
+            # VMEM, backward recomputes it (ops/fused_mlp.py). Param tree
+            # is IDENTICAL to the two nn.Dense modules below (same
+            # auto-names, inits), so the flag flips on a checkpoint.
+            from mrgcn_tpu.ops.fused_mlp import fused_mlp
+            from mrgcn_tpu.ops.pallas_gather import _use_pallas
+            d = self.model_dim
+            k1, b1 = _DenseParams(4 * d, name="Dense_0")(d)
+            k2, b2 = _DenseParams(d, name="Dense_1")(4 * d)
+            if _use_pallas():
+                y = fused_mlp(
+                    y, k1.astype(self.dtype), b1.astype(self.dtype),
+                    k2.astype(self.dtype), b2.astype(self.dtype),
+                    interpret=os.environ.get(
+                        "MRGCN_FORCE_PALLAS_GATHER") == "1")
+                y = y.astype(self.dtype)
+            else:
+                h = jnp.dot(y, k1.astype(self.dtype)) \
+                    + b1.astype(self.dtype)
+                h = nn.gelu(h)
+                y = jnp.dot(h, k2.astype(self.dtype)) \
+                    + b2.astype(self.dtype)
+        else:
+            y = nn.Dense(4 * self.model_dim, dtype=self.dtype)(y)
+            y = nn.gelu(y)
+            y = nn.Dense(self.model_dim, dtype=self.dtype)(y)
         return x + y
+
+
+class _DenseParams(nn.Module):
+    """Kernel/bias parameters with nn.Dense's names and initializers,
+    WITHOUT applying the matmul — lets a fused kernel consume the same
+    checkpoint tree the stock nn.Dense path writes."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,))
+        return kernel, bias
 
 
 class _SeparableBlock(nn.Module):

@@ -73,3 +73,75 @@ def test_text_encoder_fused_core_matches_plain_fused(monkeypatch):
                     jax.tree_util.tree_leaves(g_fc)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_fused_mlp_matches_plain():
+    """ops/fused_mlp.py (interpret) == gelu-MLP chain, fwd + grads wrt
+    x and all params, at padded (M not a block multiple) shape."""
+    from mrgcn_tpu.ops.fused_mlp import fused_mlp
+
+    rng = np.random.default_rng(3)
+    M, d, hd = 37, 16, 64
+    x = jnp.asarray(rng.standard_normal((M, d)).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((d, hd)).astype(np.float32))
+    b1 = jnp.asarray(rng.standard_normal(hd).astype(np.float32))
+    w2 = jnp.asarray(rng.standard_normal((hd, d)).astype(np.float32))
+    b2 = jnp.asarray(rng.standard_normal(d).astype(np.float32))
+    cot = jnp.asarray(rng.standard_normal((M, d)).astype(np.float32))
+
+    def ref(x, w1, b1, w2, b2):
+        return jax.nn.gelu(x @ w1 + b1, approximate=True) @ w2 + b2
+
+    def loss_ref(*a):
+        return jnp.vdot(ref(*a), cot)
+
+    def loss_new(*a):
+        return jnp.vdot(fused_mlp(*a, interpret=True), cot)
+
+    want = ref(x, w1, b1, w2, b2)
+    got = fused_mlp(x, w1, b1, w2, b2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    g_new = jax.grad(loss_new, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, b in zip(g_new, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_text_encoder_fused_mlp_flag_parity(monkeypatch):
+    """MRGCN_TEXT_MLP=fused runs the same function on the SAME param tree
+    (the _DenseParams holder reuses nn.Dense's names/inits)."""
+    from mrgcn_tpu.models.encoders import TextEncoder
+
+    rng = np.random.default_rng(11)
+    tokens = rng.integers(0, 250, (5, 12)).astype(np.int32)
+    for i, keep in enumerate([12, 7, 3, 9, 1]):
+        tokens[i, keep:] = 256
+    tokens = jnp.asarray(tokens)
+
+    kw = dict(output_dim=4, model_dim=16, num_heads=1, num_layers=2,
+              max_len=12, dtype=jnp.float32)
+    enc = TextEncoder(attn_impl="plain_fused", **kw)
+
+    monkeypatch.delenv("MRGCN_TEXT_MLP", raising=False)
+    variables = enc.init(jax.random.PRNGKey(0), tokens)
+    out_plain = enc.apply(variables, tokens)
+    g_plain = jax.grad(lambda v: jnp.sum(enc.apply(v, tokens) ** 2)
+                       )(variables)
+
+    monkeypatch.setenv("MRGCN_TEXT_MLP", "fused")
+    monkeypatch.setenv("MRGCN_FORCE_PALLAS_GATHER", "1")
+    variables_f = enc.init(jax.random.PRNGKey(0), tokens)
+    assert jax.tree_util.tree_structure(variables_f) \
+        == jax.tree_util.tree_structure(variables)
+    out_fused = enc.apply(variables, tokens)
+    np.testing.assert_allclose(np.asarray(out_plain),
+                               np.asarray(out_fused),
+                               rtol=1e-5, atol=1e-5)
+    g_fused = jax.grad(lambda v: jnp.sum(enc.apply(v, tokens) ** 2)
+                       )(variables)
+    for a, b in zip(jax.tree_util.tree_leaves(g_plain),
+                    jax.tree_util.tree_leaves(g_fused)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)

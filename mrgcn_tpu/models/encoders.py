@@ -276,10 +276,13 @@ class TextEncoder(nn.Module):
             else nn.make_attention_mask(mask, mask)
         attn_impl = self.attn_impl
         if attn_impl == "auto":
-            # measured default (tpu_batch_r4b FINAL_ENC_AB): the fused
-            # single-head path wins 85.4 vs 89.4 ms where it applies
-            attn_impl = "plain_fused" if (self.num_heads == 1
-                                          and self.key_only_mask) \
+            # measured defaults (tpu_batch_r4b/r4e): fused QKV wins 85.4
+            # vs flax 89.4 ms; the Pallas fused core on top takes the
+            # encoder to 82.5 and the multimodal epoch 150.0 -> 142.6
+            # (on non-TPU backends fused_core computes the identical
+            # plain XLA chain — ops/attention.xla_attention)
+            attn_impl = "fused_core" if (self.num_heads == 1
+                                         and self.key_only_mask) \
                 else "xla"
         block_cls = nn.remat(_TextBlock) if self.remat else _TextBlock
         for i in range(self.num_layers):
@@ -378,11 +381,14 @@ class _TextBlock(nn.Module):
         x = x + y
         y = nn.LayerNorm(dtype=self.dtype)(x)
         import os
-        if os.environ.get("MRGCN_TEXT_MLP") == "fused":
-            # fused MLP kernel: the (rows, 4d) hidden tensor stays in
-            # VMEM, backward recomputes it (ops/fused_mlp.py). Param tree
-            # is IDENTICAL to the two nn.Dense modules below (same
-            # auto-names, inits), so the flag flips on a checkpoint.
+        if os.environ.get("MRGCN_TEXT_MLP", "fused") == "fused":
+            # fused MLP kernel (DEFAULT; MRGCN_TEXT_MLP=0 reverts): the
+            # (rows, 4d) hidden tensor stays in VMEM, backward recomputes
+            # it (ops/fused_mlp.py) — isolated bwd 13.9 -> 8.2 ms,
+            # encoder 85.5 -> 82.8 (tpu_batch_r4f). Param tree is
+            # IDENTICAL to the two nn.Dense modules below (same
+            # auto-names, inits), so the flag flips on a checkpoint; on
+            # non-TPU backends the same params run the plain jnp chain.
             from mrgcn_tpu.ops.fused_mlp import fused_mlp
             from mrgcn_tpu.ops.pallas_gather import _use_pallas
             d = self.model_dim

@@ -124,7 +124,7 @@ def test_text_encoder_fused_mlp_flag_parity(monkeypatch):
               max_len=12, dtype=jnp.float32)
     enc = TextEncoder(attn_impl="plain_fused", **kw)
 
-    monkeypatch.delenv("MRGCN_TEXT_MLP", raising=False)
+    monkeypatch.setenv("MRGCN_TEXT_MLP", "0")   # stock nn.Dense pair
     variables = enc.init(jax.random.PRNGKey(0), tokens)
     out_plain = enc.apply(variables, tokens)
     g_plain = jax.grad(lambda v: jnp.sum(enc.apply(v, tokens) ** 2)

@@ -280,7 +280,10 @@ class TextEncoder(nn.Module):
             # vs flax 89.4 ms; the Pallas fused core on top takes the
             # encoder to 82.5 and the multimodal epoch 150.0 -> 142.6
             # (on non-TPU backends fused_core computes the identical
-            # plain XLA chain — ops/attention.xla_attention)
+            # plain XLA chain — ops/attention.xla_attention).
+            # NOTE: this changed the auto param tree in round 4 (fused
+            # qkv/out Dense instead of flax MHA params) — checkpoints
+            # saved on the old default load with MRGCN_TEXT_ATTN=xla
             attn_impl = "fused_core" if (self.num_heads == 1
                                          and self.key_only_mask) \
                 else "xla"

@@ -88,7 +88,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, dq_ref, dk_ref,
             preferred_element_type=jnp.float32).astype(dk_ref.dtype)
 
 
-def _specs(n_blocks, G, L, d, n_bias):
+def _specs(G, L, d):
     blk = pl.BlockSpec((G, L, d), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     bias = pl.BlockSpec((G, L), lambda i: (i, 0),
@@ -103,7 +103,7 @@ def _attention_core(q, k, v, bias, interpret):
     N, L, d = q.shape
     G = _group()
     scale = 1.0
-    blk, bspec = _specs(N // G, G, L, d, N)
+    blk, bspec = _specs(G, L, d)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale),
         grid=(N // G,),
@@ -123,7 +123,7 @@ def _attention_core_bwd(interpret, res, d_out):
     N, L, d = q.shape
     G = _group()
     scale = 1.0
-    blk, bspec = _specs(N // G, G, L, d, N)
+    blk, bspec = _specs(G, L, d)
     shape = jax.ShapeDtypeStruct((N, L, d), q.dtype)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale),

@@ -97,7 +97,6 @@ def _const_spec(shape):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def _mlp_core(x, w1, b1, w2, b2, interpret):
     M, d = x.shape
-    hd = w1.shape[1]
     Mb = min(ROW_BLOCK, M)
     return pl.pallas_call(
         _fwd_kernel,
@@ -158,7 +157,9 @@ def fused_mlp(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
     hd = w1.shape[1]
     x2 = x.reshape(-1, d)
     M = x2.shape[0]
-    M8 = -(-M // 8) * 8                 # sublane multiple
+    M8 = -(-M // 16) * 16               # sublane multiple (16 covers
+    #                                       bf16's (16, 128) native tile;
+    #                                       f32 needs only 8)
     Mb = min(ROW_BLOCK, M8)
     Mp = -(-M8 // Mb) * Mb
     if Mp != M:

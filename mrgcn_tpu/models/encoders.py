@@ -249,6 +249,9 @@ class TextEncoder(nn.Module):
     # standard memory/time trade for long-sequence or large-batch
     # configurations where activations would not fit HBM.
     remat: bool = False
+    # see models/mrgcn.py: Pallas encoder kernels default off under a
+    # multi-chip mesh (no SPMD partitioning rule for pallas custom calls)
+    under_mesh: bool = False
 
 
     @nn.compact
@@ -284,9 +287,11 @@ class TextEncoder(nn.Module):
             # NOTE: this changed the auto param tree in round 4 (fused
             # qkv/out Dense instead of flax MHA params) — checkpoints
             # saved on the old default load with MRGCN_TEXT_ATTN=xla
-            attn_impl = "fused_core" if (self.num_heads == 1
-                                         and self.key_only_mask) \
-                else "xla"
+            if self.num_heads == 1 and self.key_only_mask:
+                attn_impl = "plain_fused" if self.under_mesh \
+                    else "fused_core"
+            else:
+                attn_impl = "xla"
         block_cls = nn.remat(_TextBlock) if self.remat else _TextBlock
         for i in range(self.num_layers):
             # explicit name: keeps the param tree identical whether or not
@@ -295,6 +300,7 @@ class TextEncoder(nn.Module):
                           num_heads=self.num_heads, dtype=self.dtype,
                           attn_impl=attn_impl,
                           deterministic=not train,
+                          under_mesh=self.under_mesh,
                           name=f"_TextBlock_{i}")(x, attn_mask)
         x = nn.LayerNorm(dtype=self.dtype)(x)
 
@@ -317,6 +323,7 @@ class _TextBlock(nn.Module):
     dtype: jnp.dtype
     attn_impl: str = "auto"
     deterministic: bool = True
+    under_mesh: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -384,7 +391,8 @@ class _TextBlock(nn.Module):
         x = x + y
         y = nn.LayerNorm(dtype=self.dtype)(x)
         import os
-        if os.environ.get("MRGCN_TEXT_MLP", "fused") == "fused":
+        mlp_default = "0" if self.under_mesh else "fused"
+        if os.environ.get("MRGCN_TEXT_MLP", mlp_default) == "fused":
             # fused MLP kernel (DEFAULT; MRGCN_TEXT_MLP=0 reverts): the
             # (rows, 4d) hidden tensor stays in VMEM, backward recomputes
             # it (ops/fused_mlp.py) — isolated bwd 13.9 -> 8.2 ms,

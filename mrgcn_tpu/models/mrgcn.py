@@ -104,6 +104,13 @@ class MRGCN(nn.Module):
     # checkpoints stay structurally stable; task drivers rebuild the model
     # with the dead set when loaded gates are zero.
     skip_encoders: Tuple[str, ...] = ()
+    # built for multi-chip mesh training: encoder Pallas kernels (fused
+    # attention core / fused MLP) default OFF — they run inside the
+    # GSPMD-partitioned program (not shard_map-wrapped like the R-GCN
+    # engine) and a pallas custom call carries no SPMD partitioning
+    # rule; the XLA-equivalent paths run instead until validated on
+    # real multi-chip hardware. Explicit MRGCN_TEXT_{ATTN,MLP} win.
+    under_mesh: bool = False
 
     def setup(self):
         encoders = {}
@@ -138,9 +145,11 @@ class MRGCN(nn.Module):
                         pad_id=self.text_pad_id,
                         # measured-variant override (equivalence pinned in
                         # tests/test_models.py): "plain"/"plain_fused"/
-                        # "flash"; default "auto" = flax attention
+                        # "fused_core"/"flash"; "auto" resolves per
+                        # TextEncoder's measured defaults
                         attn_impl=os.environ.get("MRGCN_TEXT_ATTN",
-                                                 "auto"), name=name)
+                                                 "auto"),
+                        under_mesh=self.under_mesh, name=name)
             elif datatype == "ogc.wktLiteral":
                 _, dim_out, size, dropout = args
                 encoders[name] = TCNN(output_dim=dim_out, size=size,

@@ -69,7 +69,9 @@ def build_model(inputs: RunInputs, config: Dict) -> MRGCN:
                  use_bias=config["model"]["bias"],
                  link_prediction=True,
                  text_vocab_size=inputs.text_vocab_size,
-                 text_pad_id=inputs.text_pad_id)
+                 text_pad_id=inputs.text_pad_id,
+                 under_mesh=getattr(inputs.edges, "mesh", None)
+                 is not None)
 
 
 @dataclass

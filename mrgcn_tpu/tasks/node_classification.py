@@ -69,7 +69,9 @@ def build_model(inputs: RunInputs, config: Dict, num_classes: int) -> MRGCN:
                  featureless=inputs.featureless,
                  use_bias=config["model"]["bias"],
                  text_vocab_size=inputs.text_vocab_size,
-                 text_pad_id=inputs.text_pad_id)
+                 text_pad_id=inputs.text_pad_id,
+                 under_mesh=getattr(inputs.edges, "mesh", None)
+                 is not None)
 
 
 def _loss_and_metrics(logits, idx, targets, weights):

@@ -477,15 +477,24 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
 
         losses = []
         if train_groups is not None:
-            for stacked in train_groups:
+            # in-place terminal progress
+            # (reference: link_prediction.py:231-235)
+            progress = tutils.BatchProgress(len(train_groups),
+                                            label="TRAIN")
+            for gi, stacked in enumerate(train_groups, 1):
+                progress.update(gi)
                 count = jax.tree.leaves(stacked)[0].shape[0]
                 jrng, key = jax.random.split(jrng)
                 rngs = jax.random.split(key, count)
                 params, batch_stats, opt_state, ls = train_group(
                     params, batch_stats, opt_state, stacked, rngs)
                 losses.extend(np.asarray(ls).tolist())
+            progress.done()
         else:
-            for b in train_batches:
+            progress = tutils.BatchProgress(len(train_batches),
+                                            label="TRAIN")
+            for bi, b in enumerate(train_batches, 1):
+                progress.update(bi)
                 jrng, step_rng = jax.random.split(jrng)
                 params, batch_stats, opt_state, batch_loss = train_step(
                     params, batch_stats, opt_state, b.features, b.edges,
@@ -493,6 +502,7 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
                     jnp.int32(b.num_triples), jnp.int32(b.num_pool),
                     step_rng)
                 losses.append(float(batch_loss))
+            progress.done()
         loss = float(np.mean(losses))
         results_str = f"{ep:04d} | loss {loss:.4f}"
 

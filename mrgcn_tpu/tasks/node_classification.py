@@ -411,21 +411,32 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
 
         losses, accs = [], []
         if train_groups is not None:
-            for idxs, stacked in train_groups:
+            # in-place terminal progress, per scan GROUP (one dispatch
+            # covers many reference-batches;
+            # reference: node_classification.py:157-161)
+            progress = tutils.BatchProgress(len(train_groups),
+                                            label="TRAIN")
+            for gi, (idxs, stacked) in enumerate(train_groups, 1):
+                progress.update(gi)
                 rng, key = jax.random.split(rng)
                 rngs = jax.random.split(key, len(idxs))
                 params, batch_stats, opt_state, l, a = train_group(
                     params, batch_stats, opt_state, stacked, rngs)
                 losses.extend(np.asarray(l).tolist())
                 accs.extend(np.asarray(a).tolist())
+            progress.done()
         else:
-            for b in train_batches:
+            progress = tutils.BatchProgress(len(train_batches),
+                                            label="TRAIN")
+            for bi, b in enumerate(train_batches, 1):
+                progress.update(bi)
                 rng, step_rng = jax.random.split(rng)
                 params, batch_stats, opt_state, loss, acc = train_step(
                     params, batch_stats, opt_state, b.features, b.edges,
                     b.idx, b.targets, b.weights, step_rng)
                 losses.append(float(loss))
                 accs.append(float(acc))
+            progress.done()
         train_loss, train_acc = float(np.mean(losses)), float(np.mean(accs))
 
         val_loss, val_acc = -1.0, -1.0

@@ -264,3 +264,40 @@ def with_gate_skip(model, params):
     logger.info("Skipping zero-gated encoder(s): %s", ", ".join(dead))
     import dataclasses
     return dataclasses.replace(model, skip_encoders=dead)
+
+
+class BatchProgress:
+    """In-place terminal batch counter, the reference's training-loop
+    progress display (reference: node_classification.py:157-161,
+    link_prediction.py:231-235): prints `` [TRAIN] - batch  i / N`` and
+    backspaces over it so the line is reused.
+
+    Enabled only when the stream is a TTY (defaults to stdout) — log
+    files and CI capture stay clean; the scan-batched epochs report per
+    GROUP (one device dispatch covers many reference-batches)."""
+
+    def __init__(self, total: int, stream=None, enabled: bool = None,
+                 label: str = "TRAIN"):
+        import sys
+        self.total = int(total)
+        self.stream = stream if stream is not None else sys.stdout
+        if enabled is None:
+            enabled = self.total > 1 and getattr(
+                self.stream, "isatty", lambda: False)()
+        self.enabled = enabled
+        self.label = label
+
+    def update(self, batch_id: int) -> None:
+        if not self.enabled:
+            return
+        s = " [%s] - batch %2.d / %d" % (self.label, batch_id, self.total)
+        self.stream.write(s + "\b" * len(s))
+        self.stream.flush()
+
+    def done(self) -> None:
+        if not self.enabled:
+            return
+        s = " [%s] - batch %2.d / %d" % (self.label, self.total,
+                                         self.total)
+        self.stream.write(" " * len(s) + "\b" * len(s))
+        self.stream.flush()

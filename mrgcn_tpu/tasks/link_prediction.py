@@ -470,6 +470,11 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
     use_scan = (_os.environ.get("MRGCN_SCAN_BATCHES", "1") != "0"
                 and len(train_batches) > 1)
     train_groups = group_lp_batches(train_batches) if use_scan else None
+    # per-batch path: ship the static triple/pool arrays to the device
+    # ONCE — jnp.asarray inside the epoch loop re-uploaded them every
+    # step (megabyte-scale blocking puts per epoch on remote devices)
+    train_dev = [(b, jnp.asarray(b.data), jnp.asarray(b.corrupt_pool))
+                 for b in train_batches] if train_groups is None else None
 
     logger.info("Training for %d epoch (%d batch(es)%s)", nepoch,
                 len(train_batches),
@@ -503,14 +508,14 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
                 losses.extend(np.asarray(ls).tolist())
             progress.done()
         else:
-            progress = tutils.BatchProgress(len(train_batches),
+            progress = tutils.BatchProgress(len(train_dev),
                                             label="TRAIN")
-            for bi, b in enumerate(train_batches, 1):
+            for bi, (b, data_dev, pool_dev) in enumerate(train_dev, 1):
                 progress.update(bi)
                 jrng, step_rng = jax.random.split(jrng)
                 params, batch_stats, opt_state, batch_loss = train_step(
                     params, batch_stats, opt_state, b.features, b.edges,
-                    jnp.asarray(b.data), jnp.asarray(b.corrupt_pool),
+                    data_dev, pool_dev,
                     jnp.int32(b.num_triples), jnp.int32(b.num_pool),
                     step_rng)
                 losses.append(float(batch_loss))

@@ -206,6 +206,26 @@ def test_collect_many_matches_sequential(lp_setup):
         np.testing.assert_array_equal(flt_b, flt_s)
 
 
+def test_rank_plan_reuse_across_embeddings(lp_setup):
+    """A prepared RankPlan re-dispatched with DIFFERENT embeddings (the
+    drivers cache plans across eval epochs while params train) matches a
+    fresh launch_ranks every time."""
+    data, E_nodes, E_edges = lp_setup
+    plan = distmult.prepare_rank_chunks(data, E_nodes.shape[0],
+                                        chunk_size=7, budget_elems=1)
+    rng = np.random.default_rng(11)
+    for _ in range(3):
+        En = jnp.asarray(rng.standard_normal(E_nodes.shape)
+                         .astype(np.float32))
+        Ee = jnp.asarray(rng.standard_normal(E_edges.shape)
+                         .astype(np.float32))
+        raw_p, flt_p = distmult.collect_many(
+            [distmult.launch_ranks_plan(plan, En, Ee)])[0]
+        raw_f, flt_f = distmult.compute_ranks(data, En, Ee)
+        np.testing.assert_array_equal(raw_p, raw_f)
+        np.testing.assert_array_equal(flt_p, flt_f)
+
+
 def test_tie_handling_exact():
     """Ties place the true triple halfway down, with round-half-to-even
     (reference: link_prediction.py:632-638)."""

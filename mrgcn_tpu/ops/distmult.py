@@ -40,9 +40,8 @@ def score(s_idx, p_idx, o_idx, node_embeddings, edge_embeddings):
     return jnp.sum(s * p * o, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("head",))
-def _chunk_ranks(data, node_embeddings, edge_embeddings, filter_fact,
-                 filter_cand, num_valid, head: bool):
+def _chunk_ranks_impl(data, node_embeddings, edge_embeddings, filter_fact,
+                      filter_cand, num_valid, head: bool):
     """Ranks for one chunk of facts, raw and filtered.
 
     ``data``: (F, 3) int32 (padded rows allowed — caller slices results).
@@ -89,6 +88,29 @@ def _chunk_ranks(data, node_embeddings, edge_embeddings, filter_fact,
     return raw, flt
 
 
+_chunk_ranks = partial(jax.jit, static_argnames=("head",))(
+    _chunk_ranks_impl)
+
+
+@partial(jax.jit, static_argnames=("head",))
+def _chunk_ranks_scan(chunks, node_embeddings, edge_embeddings, ffs, fcs,
+                      num_valid, head: bool):
+    """All of one direction's chunks as ONE device program (lax.scan):
+    each remote execute costs ~5-10 ms of RPC round trip on a
+    tunnel-attached device, so 40 per-chunk programs per direction were
+    most of the post-RankPlan eval epoch. Sequential scan keeps the
+    (chunk, N) score-matrix budget of the per-chunk path."""
+
+    def body(_, x):
+        chunk, ff, fc = x
+        return None, _chunk_ranks_impl(chunk, node_embeddings,
+                                       edge_embeddings, ff, fc,
+                                       num_valid, head)
+
+    _, (raw, flt) = jax.lax.scan(body, None, (chunks, ffs, fcs))
+    return raw, flt
+
+
 def truedicts(facts: np.ndarray) -> Tuple[Dict, Dict]:
     """(p, o) -> true heads and (s, p) -> true tails
     (reference: link_prediction.py:576-591)."""
@@ -125,15 +147,17 @@ def _filter_pairs(data: np.ndarray, heads: Dict, tails: Dict,
 class PendingRanks:
     """Handle for asynchronously dispatched ranking chunks.
 
-    ``chunks``: list of ``(out_begin, valid_len, raw_dev, flt_dev)`` where
-    the device arrays are un-fetched ``(chunk_size,)`` results (padding rows
-    past ``valid_len`` are discarded at collection). ``num_facts`` is the
-    per-direction fact count; outputs are laid out
-    ``[tail ranks, head ranks]``.
+    ``parts``: list of ``(meta, raw_stack, flt_stack)`` — one entry per
+    direction, the stacks un-fetched ``(C, chunk_size)`` device results
+    of a scanned dispatch, ``meta`` rows ``(out_begin, valid_len, row)``
+    (padding past ``valid_len`` is discarded at collection).
+    ``num_facts`` is the per-direction fact count; outputs are laid out
+    ``[tail ranks, head ranks]`` (reference iterates head in
+    [False, True]).
     """
 
-    def __init__(self, chunks, num_facts: int):
-        self.chunks = chunks
+    def __init__(self, parts, num_facts: int):
+        self.parts = parts
         self.num_facts = num_facts
 
 
@@ -223,15 +247,22 @@ def prepare_rank_chunks(data: np.ndarray, num_nodes: int,
 
 def launch_ranks_plan(plan: RankPlan, node_embeddings,
                       edge_embeddings) -> PendingRanks:
-    """Dispatch a prepared :class:`RankPlan`'s chunks (async, no host
-    transfers — the per-chunk operands are device-side row slices)."""
-    chunks = []
-    for out_begin, valid, idx, head in plan.chunk_meta:
-        raw, flt = _chunk_ranks(
-            plan.chunk_dev[idx], node_embeddings, edge_embeddings,
-            plan.ff_dev[idx], plan.fc_dev[idx], plan.nv_dev, head)
-        chunks.append((out_begin, valid, raw, flt))
-    return PendingRanks(chunks, plan.num_facts)
+    """Dispatch a prepared :class:`RankPlan` as ONE scanned device
+    program per direction (async; no host transfers — the chunk stacks
+    are device-resident)."""
+    C = int(plan.chunk_dev.shape[0])
+    if C == 0:
+        return PendingRanks([], plan.num_facts)
+    C2 = C // 2   # prepare emits all tail-direction chunks, then head
+    parts = []
+    for head, sl in ((False, slice(0, C2)), (True, slice(C2, C))):
+        meta = [(ob, v, i - sl.start)
+                for ob, v, i, h in plan.chunk_meta if h == head]
+        raw, flt = _chunk_ranks_scan(
+            plan.chunk_dev[sl], node_embeddings, edge_embeddings,
+            plan.ff_dev[sl], plan.fc_dev[sl], plan.nv_dev, head)
+        parts.append((meta, raw, flt))
+    return PendingRanks(parts, plan.num_facts)
 
 
 def launch_ranks(data: np.ndarray, node_embeddings, edge_embeddings,
@@ -272,9 +303,9 @@ def collect_many(pendings: List[PendingRanks]
     """
     all_dev: List = []
     for p in pendings:
-        for _, _, raw, flt in p.chunks:
-            all_dev.append(raw)
-            all_dev.append(flt)
+        for _, raw, flt in p.parts:
+            all_dev.append(raw.reshape(-1))
+            all_dev.append(flt.reshape(-1))
     if not all_dev:
         return [(np.zeros(0, np.int64), np.zeros(0, np.int64))
                 for _ in pendings]
@@ -285,12 +316,15 @@ def collect_many(pendings: List[PendingRanks]
     for p in pendings:
         raw_out = np.empty(p.num_facts * 2, dtype=np.int64)
         flt_out = np.empty(p.num_facts * 2, dtype=np.int64)
-        for out_begin, valid, raw, flt in p.chunks:
-            csize = raw.shape[0]
-            raw_out[out_begin:out_begin + valid] = flat[pos:pos + valid]
-            pos += csize
-            flt_out[out_begin:out_begin + valid] = flat[pos:pos + valid]
-            pos += csize
+        for meta, raw, flt in p.parts:
+            C, csize = raw.shape
+            raw_np = flat[pos:pos + C * csize].reshape(C, csize)
+            pos += C * csize
+            flt_np = flat[pos:pos + C * csize].reshape(C, csize)
+            pos += C * csize
+            for out_begin, valid, row in meta:
+                raw_out[out_begin:out_begin + valid] = raw_np[row, :valid]
+                flt_out[out_begin:out_begin + valid] = flt_np[row, :valid]
         results.append((raw_out, flt_out))
     return results
 

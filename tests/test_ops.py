@@ -185,7 +185,9 @@ def test_ranks_chunked_equal_unchunked(lp_setup):
     pending = distmult.launch_ranks(data, jnp.asarray(E_nodes),
                                     jnp.asarray(E_edges), chunk_size=7,
                                     budget_elems=1)
-    assert len(pending.chunks) == 6
+    # 3 chunks per direction, dispatched as one scanned stack each
+    assert len(pending.parts) == 2
+    assert all(raw.shape[0] == 3 for _, raw, _ in pending.parts)
     raw2, flt2 = distmult.collect_many([pending])[0]
     np.testing.assert_array_equal(raw1, raw2)
     np.testing.assert_array_equal(flt1, flt2)

@@ -184,27 +184,109 @@ class RankPlan:
         self.nv_dev = nv_dev
 
 
-def prepare_rank_chunks(data: np.ndarray, num_nodes: int,
-                        chunk_size: int = 0,
-                        true_facts: Optional[np.ndarray] = None,
-                        num_valid: Optional[int] = None,
-                        budget_elems: int = 2 ** 26) -> RankPlan:
-    """Host side of :func:`launch_ranks`: chunking, filter pairs, padding
-    and ONE batched upload. See :class:`RankPlan`."""
-    data = np.asarray(data)
-    num_facts = data.shape[0]
+def prepare_rank_chunks_many(datas: List[np.ndarray], num_nodes: int,
+                             chunk_size: int = 0,
+                             num_valid: Optional[int] = None,
+                             budget_elems: int = 2 ** 26
+                             ) -> Tuple[RankPlan, List[Tuple[int, int]]]:
+    """Host side of ranking for MANY fact subsets that share one
+    embedding space: per-subset chunking/filter pairs (chunks never span
+    subsets, so each subset keeps the reference's filter-against-its-own-
+    facts semantics), stacked into ONE RankPlan — the whole eval
+    dispatches as two scanned programs instead of 2 x num_subsets.
+
+    Returns ``(plan, boundaries)``; ``boundaries[i] = (start, n)`` is
+    subset ``i``'s fact range within each direction of the plan's output
+    layout ``[all tails | all heads]``.
+    """
+    datas = [np.asarray(d) for d in datas]
+    total = sum(d.shape[0] for d in datas)
+    max_len = max((d.shape[0] for d in datas), default=0)
     if chunk_size <= 0:
-        chunk_size = num_facts
+        chunk_size = max_len
 
     # chunking exists purely to bound the (chunk, N) score matrix — results
     # are chunk-size independent — so grow the caller's hint (the reference's
     # mrr_batchsize memory knob) until the score matrix fills the
     # ``budget_elems`` budget (default 256 MiB of f32 scores); fewer,
     # larger device calls amortise dispatch overhead
-    chunk_size = min(max(num_facts, 1),
+    chunk_size = min(max(max_len, 1),
                      max(chunk_size, budget_elems // max(num_nodes, 1)))
 
-    heads, tails = truedicts(true_facts if true_facts is not None else data)
+    per_subset = [truedicts(d) for d in datas]
+
+    boundaries: List[Tuple[int, int]] = []
+    start = 0
+    for d in datas:
+        boundaries.append((start, d.shape[0]))
+        start += d.shape[0]
+
+    chunk_meta = []
+    chunk_np: list = []
+    filt: list = []
+    offset = 0
+    for head in (False, True):
+        for d, (heads, tails), (sub_start, _) in zip(datas, per_subset,
+                                                     boundaries):
+            num_facts = d.shape[0]
+            for begin in range(0, num_facts, chunk_size):
+                end = min(begin + chunk_size, num_facts)
+                chunk = d[begin:end]
+                # pad to the static chunk size so XLA compiles once
+                pad = chunk_size - (end - begin)
+                if pad:
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((pad, 3), dtype=chunk.dtype)])
+                ff, fc = _filter_pairs(d[begin:end], heads, tails, head)
+                chunk_meta.append((offset + sub_start + begin,
+                                   end - begin, len(chunk_np), head))
+                chunk_np.append(chunk.astype(np.int32))
+                filt.append((ff, fc))
+        offset += total
+
+    # one COMMON filter-pair bucket across chunks: a single compiled
+    # program per direction and a rectangular stack; pads point at the
+    # out-of-range fact row and are dropped by the scatter
+    bucket = max(64, 1 << int(np.ceil(np.log2(
+        max(max((len(ff) for ff, _ in filt), default=1), 1)))))
+    ff_np = np.full((len(filt), bucket), chunk_size, dtype=np.int32)
+    fc_np = np.zeros((len(filt), bucket), dtype=np.int32)
+    for i, (ff, fc) in enumerate(filt):
+        ff_np[i, :len(ff)] = ff
+        fc_np[i, :len(fc)] = fc
+
+    nv = num_nodes if num_valid is None else num_valid
+    plan = RankPlan(chunk_meta,
+                    jnp.asarray(np.stack(chunk_np) if chunk_np else
+                                np.zeros((0, max(chunk_size, 1), 3),
+                                         np.int32)),
+                    jnp.asarray(ff_np), jnp.asarray(fc_np), total,
+                    jnp.asarray(nv, dtype=jnp.int32))
+    return plan, boundaries
+
+
+def prepare_rank_chunks(data: np.ndarray, num_nodes: int,
+                        chunk_size: int = 0,
+                        true_facts: Optional[np.ndarray] = None,
+                        num_valid: Optional[int] = None,
+                        budget_elems: int = 2 ** 26) -> RankPlan:
+    """Host side of :func:`launch_ranks`: chunking, filter pairs, padding
+    and ONE batched upload. See :class:`RankPlan`. ``true_facts``
+    overrides the filter-pair fact set (defaults to ``data``)."""
+    if true_facts is None:
+        plan, _ = prepare_rank_chunks_many(
+            [data], num_nodes, chunk_size=chunk_size,
+            num_valid=num_valid, budget_elems=budget_elems)
+        return plan
+
+    # explicit filter set: single-subset build with custom truedicts
+    data = np.asarray(data)
+    num_facts = data.shape[0]
+    if chunk_size <= 0:
+        chunk_size = num_facts
+    chunk_size = min(max(num_facts, 1),
+                     max(chunk_size, budget_elems // max(num_nodes, 1)))
+    heads, tails = truedicts(true_facts)
 
     chunk_meta = []
     chunk_np: list = []
@@ -214,7 +296,6 @@ def prepare_rank_chunks(data: np.ndarray, num_nodes: int,
         for begin in range(0, num_facts, chunk_size):
             end = min(begin + chunk_size, num_facts)
             chunk = data[begin:end]
-            # pad to the static chunk size so XLA compiles once
             pad = chunk_size - (end - begin)
             if pad:
                 chunk = np.concatenate(
@@ -226,9 +307,6 @@ def prepare_rank_chunks(data: np.ndarray, num_nodes: int,
             filt.append((ff, fc))
         offset += num_facts
 
-    # one COMMON filter-pair bucket across chunks: a single compiled
-    # program per direction and a rectangular stack; pads point at the
-    # out-of-range fact row and are dropped by the scatter
     bucket = max(64, 1 << int(np.ceil(np.log2(
         max(max((len(ff) for ff, _ in filt), default=1), 1)))))
     ff_np = np.full((len(filt), bucket), chunk_size, dtype=np.int32)

@@ -350,28 +350,52 @@ def evaluate(batches: List[LPBatch], embed_fn, params, batch_stats,
     # ranking chunks are DISPATCHED first (async), then materialised with
     # one batched device->host fetch — per-subset blocking round trips
     # dominate the eval epoch otherwise (benchmarks/lp_eval_bench.py).
-    emb_cache: dict = {}
-    pendings = []
-    for b in batches:
-        key = id(b.edges)
-        emb = emb_cache.get(key)
-        if emb is None:
-            emb = embed_fn(params, batch_stats, b.features, b.edges)
-            emb_cache[key] = emb
-        # the batch's facts are static across evals: prepare the ranking
-        # chunks (host filter walk + ONE batched upload) once and
-        # re-dispatch the device-resident plan each epoch — per-chunk
-        # host->device puts dominated the eval epoch on remote-attached
-        # devices (~240 blocking ~50 ms transfers at FB15k scale)
-        if b.rank_plan is None:
-            b.rank_plan = distmult.prepare_rank_chunks(
-                b.real_data if b.num_triples else b.data,
-                int(emb.shape[0]), chunk_size=mrr_batchsize,
-                num_valid=b.num_valid)
-        pendings.append(distmult.launch_ranks_plan(b.rank_plan, emb,
-                                                   relations))
+    # triple subsets sharing a graph slice get ONE embedding pass and ONE
+    # stacked RankPlan (chunks never span subsets, so each subset keeps
+    # the reference's filter-against-its-own-facts and per-batch-mean
+    # semantics) — the whole group's ranking dispatches as two scanned
+    # programs instead of 2 x num_subsets. Plans and facts are static
+    # across evals: the plan caches on the group's first batch
+    # (per-chunk host->device puts + the Python filter walk re-done per
+    # eval were the 5.9 s wall of the FB15k-scale eval epoch).
+    group_idx: dict = {}
+    groups: list = []            # [(key, [batch index, ...])]
+    for bi, b in enumerate(batches):
+        key = (id(b.edges), b.num_valid)
+        if key not in group_idx:
+            group_idx[key] = len(groups)
+            groups.append((key, []))
+        groups[group_idx[key]][1].append(bi)
 
-    for raw, flt in distmult.collect_many(pendings):
+    pendings = []
+    group_bounds = []
+    for _, members in groups:
+        b0 = batches[members[0]]
+        emb = embed_fn(params, batch_stats, b0.features, b0.edges)
+        cached = b0.rank_plan
+        if not (isinstance(cached, tuple) and len(cached) == 3
+                and cached[2] == len(members)):
+            datas = [batches[bi].real_data
+                     if batches[bi].num_triples else batches[bi].data
+                     for bi in members]
+            plan, bounds = distmult.prepare_rank_chunks_many(
+                datas, int(emb.shape[0]), chunk_size=mrr_batchsize,
+                num_valid=b0.num_valid)
+            b0.rank_plan = cached = (plan, bounds, len(members))
+        plan, bounds, _ = cached
+        group_bounds.append(bounds)
+        pendings.append(distmult.launch_ranks_plan(plan, emb, relations))
+
+    per_batch: list = [None] * len(batches)
+    for (_, members), bounds, (raw_g, flt_g) in zip(
+            groups, group_bounds, distmult.collect_many(pendings)):
+        T = sum(n for _, n in bounds)
+        for bi, (s, n) in zip(members, bounds):
+            per_batch[bi] = (
+                np.concatenate([raw_g[s:s + n], raw_g[T + s:T + s + n]]),
+                np.concatenate([flt_g[s:s + n], flt_g[T + s:T + s + n]]))
+
+    for raw, flt in per_batch:
         for rank_type, ranks in (("raw", raw), ("flt", flt)):
             if rank_type == "flt" and not filter_ranks:
                 mrr[rank_type].append(-1)

@@ -366,6 +366,199 @@ def _pallas_scatter(msgs, local, out_blk, out_rows, *, row_block,
     return jnp.where(mask[:, None], out, 0.0)
 
 
+def _scatter_dot_kernel(outblk_ref, local_ref, w_ref, dvn_ref, table_hbm,
+                        out_hbm, dots_ref, acc, sems, cnt, pblk, tbl,
+                        tsem, tblk_id, *, row_block: int, edge_block: int,
+                        super_blocks: int, n_sub: int):
+    """The scatter kernel fused with the same-address table dot:
+    per edge, ``out[blk*RB + local] += w * dvn`` AND
+    ``dots = <table[blk*RB + local], dvn>`` — ONE pass over the stream
+    instead of a scatter pass plus a row-gather pass. ``table`` blocks
+    are DMA'd on block change (the stream's block ids are
+    non-decreasing, so each table block loads once)."""
+    s = pl.program_id(0)
+    base = s * super_blocks
+    L = acc.shape[-1]
+    zero_blk = jnp.zeros((row_block, L), jnp.float32)
+
+    @pl.when(s == 0)
+    def _():
+        acc[0] = zero_blk
+        acc[1] = zero_blk
+        cnt[0] = 0
+        tblk_id[0] = -1
+
+    for j in range(super_blocks):
+        g = base + j
+        blk = outblk_ref[g]
+
+        @pl.when(blk != tblk_id[0])
+        def _():
+            copy = pltpu.make_async_copy(
+                table_hbm.at[pl.ds(blk * row_block, row_block), :],
+                tbl, tsem)
+            copy.start()
+            copy.wait()
+            tblk_id[0] = blk
+
+        cur = cnt[0] % 2
+        lo = local_ref[0, 0:1, j * edge_block:(j + 1) * edge_block]
+        wv = w_ref[0, 0:1, j * edge_block:(j + 1) * edge_block]
+        dvn = dvn_ref[0, j * edge_block:(j + 1) * edge_block, :]
+        riota = jax.lax.broadcasted_iota(
+            jnp.int32, (row_block, edge_block), 0)
+        onehot = (riota == lo).astype(jnp.float32)        # (RB, EB)
+        contrib = jax.lax.dot_general(
+            onehot * wv, dvn, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)          # (RB, L)
+        acc[cur] += contrib
+
+        # same-address table rows per edge + lane dot
+        gathered = jax.lax.dot_general(
+            onehot, tbl[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)          # (EB, L)
+        dots_ref[0, pl.ds(j * edge_block, edge_block)] = jnp.sum(
+            gathered * dvn, axis=1)
+
+        is_last = g == n_sub - 1
+        nxt = jnp.minimum(g + 1, n_sub - 1)
+        changes = jnp.logical_or(is_last, outblk_ref[nxt] != outblk_ref[g])
+
+        @pl.when(changes)
+        def _():
+            c = cnt[0]
+            slot = c % 2
+            other = 1 - slot
+            pltpu.make_async_copy(
+                acc.at[slot],
+                out_hbm.at[pl.ds(outblk_ref[g] * row_block, row_block), :],
+                sems.at[slot]).start()
+            pblk[slot] = outblk_ref[g]
+
+            @pl.when(c >= 1)
+            def _():
+                pltpu.make_async_copy(
+                    acc.at[other],
+                    out_hbm.at[pl.ds(pblk[other] * row_block, row_block),
+                               :],
+                    sems.at[other]).wait()
+            acc[other] = zero_blk
+            cnt[0] = c + 1
+
+        @pl.when(is_last)
+        def _():
+            c = cnt[0]
+            last = (c - 1) % 2
+            pltpu.make_async_copy(
+                acc.at[last],
+                out_hbm.at[pl.ds(pblk[last] * row_block, row_block), :],
+                sems.at[last]).wait()
+
+
+def _pallas_scatter_dot(dvn, w, local, out_blk, table, out_rows, *,
+                        row_block, edge_block, interpret=False):
+    num_blocks = local.shape[0]
+    L = dvn.shape[1]
+    super_blocks = _super_blocks(edge_block, L)
+
+    n_super = -(-num_blocks // super_blocks)
+    pad = n_super * super_blocks - num_blocks
+    E_in = dvn.shape[0]
+    if pad:
+        local = jnp.concatenate(
+            [local, jnp.full((pad, edge_block), row_block, local.dtype)])
+        out_blk = jnp.concatenate(
+            [out_blk, jnp.broadcast_to(out_blk[-1:], (pad,))])
+        dvn = jnp.concatenate(
+            [dvn, jnp.zeros((pad * edge_block, L), dvn.dtype)])
+        w = jnp.concatenate(
+            [w, jnp.zeros((pad * edge_block,), w.dtype)])
+
+    local3 = jnp.broadcast_to(
+        local.reshape(n_super, 1, super_blocks * edge_block),
+        (n_super, 8, super_blocks * edge_block))
+    w3 = jnp.broadcast_to(
+        w.astype(jnp.float32).reshape(n_super, 1,
+                                      super_blocks * edge_block),
+        (n_super, 8, super_blocks * edge_block))
+    dvn3 = dvn.astype(jnp.float32).reshape(
+        n_super, super_blocks * edge_block, L)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_super,),
+        in_specs=[
+            pl.BlockSpec((1, 8, super_blocks * edge_block),
+                         lambda i, ob: (i, 0, 0)),
+            pl.BlockSpec((1, 8, super_blocks * edge_block),
+                         lambda i, ob: (i, 0, 0)),
+            pl.BlockSpec((1, super_blocks * edge_block, L),
+                         lambda i, ob: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec((1, super_blocks * edge_block),
+                                lambda i, ob: (i, 0))),
+        scratch_shapes=[
+            pltpu.VMEM((2, row_block, L), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.VMEM((row_block, L), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    kernel = partial(_scatter_dot_kernel, row_block=row_block,
+                     edge_block=edge_block, super_blocks=super_blocks,
+                     n_sub=n_super * super_blocks)
+
+    out, dots = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((out_rows, L), jnp.float32),
+                   jax.ShapeDtypeStruct(
+                       (n_super, super_blocks * edge_block), jnp.float32)),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(out_blk, local3, w3, dvn3, jnp.asarray(table, jnp.float32))
+    # blocks never visited hold uninitialised memory — zero them
+    nblk_out = out_rows // row_block
+    covered = jnp.zeros(nblk_out, dtype=bool).at[out_blk].set(
+        True, mode="drop")
+    mask = jnp.repeat(covered, row_block)
+    return (jnp.where(mask[:, None], out, 0.0),
+            dots.reshape(-1)[:E_in])
+
+
+def fused_scatter_dot(dvn: jnp.ndarray, w: jnp.ndarray,
+                      local: jnp.ndarray, out_blk: jnp.ndarray,
+                      table: jnp.ndarray, out_rows: int, row_block: int,
+                      edge_block: int, interpret: bool = False):
+    """``out[blk*RB + local_e] += w_e * dvn_e`` AND
+    ``dots_e = <table[blk*RB + local_e], dvn_e>`` in one stream pass —
+    the featureless-basis backward's d_packed scatter and d_comp gather
+    visit the SAME rows, so fusing them removes a full per-edge gather
+    pass per basis (the d_comp side of relational._featureless_basis_bwd
+    behind MRGCN_FUSED_BASIS_BWD=1). Padding edges (``local ==
+    row_block``) contribute nothing and read zero."""
+    if _use_pallas():
+        return _pallas_scatter_dot(dvn, w, local, out_blk, table,
+                                   out_rows, row_block=row_block,
+                                   edge_block=edge_block,
+                                   interpret=interpret)
+    msgs = dvn * w[:, None]
+    out = _xla_scatter(msgs, local, out_blk, out_rows,
+                       row_block=row_block, edge_block=edge_block)
+    rows = (out_blk[:, None] * row_block + local).reshape(-1)
+    valid = (local.reshape(-1) < row_block)[:dvn.shape[0]]
+    safe = jnp.where(valid, rows[:dvn.shape[0]], 0)
+    gathered = table[safe]
+    dots = jnp.sum(gathered * dvn, axis=1) * valid
+    return out, dots
+
+
 def _xla_scatter(msgs, local, out_blk, out_rows, *, row_block, edge_block):
     eb = edge_block
     rows = (out_blk[:, None] * row_block + local).reshape(-1)

@@ -763,6 +763,31 @@ def _featureless_basis_bwd(out_dim, interpret, res, d_out):
     d_vh = _gather_sub(d_out_p, h.src_row, h.out_mod, plans.k_out,
                        out_dim)                         # (E, out), no norm
     w_h = comp[h.rel]                                   # (E, B)
+
+    if os.environ.get("MRGCN_FUSED_BASIS_BWD") == "1" and k == 1:
+        # fused pass per basis: the d_packed scatter and the d_comp
+        # gather visit the SAME (block, local) addresses on this stream
+        # — pallas_gather.fused_scatter_dot does both in one pass,
+        # removing B per-edge row-gather passes from the backward
+        from mrgcn_tpu.ops.pallas_gather import fused_scatter_dot
+        L = packed.shape[2]
+        dvn = d_vh * h.norm[:, None]
+        if dvn.shape[1] < L:
+            dvn = jnp.pad(dvn, ((0, 0), (0, L - dvn.shape[1])))
+        planes, cols = [], []
+        for b in range(B):
+            out_b, dots_b = fused_scatter_dot(
+                dvn, w_h[:, b], h.scatter_local, h.scatter_blk,
+                packed[b], plans.n_in_rows, h.row_block, h.edge_block,
+                interpret)
+            planes.append(out_b)
+            cols.append(dots_b)
+        d_packed = jnp.stack(planes, axis=0)
+        per_edge = jnp.stack(cols, axis=1)              # (E, B)
+        d_comp = jax.ops.segment_sum(per_edge, h.rel,
+                                     num_segments=comp.shape[0])
+        return (d_comp.astype(comp.dtype), d_packed.astype(packed.dtype),
+                None)
     planes = []
     for b in range(B):
         planes.append(_place_scatter(

@@ -564,3 +564,39 @@ def test_rgcn_model_planned_parity():
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("interpret", [False, True])
+def test_featureless_basis_fused_bwd_parity(monkeypatch, interpret):
+    """MRGCN_FUSED_BASIS_BWD=1 (one fused scatter+dot pass per basis for
+    d_packed/d_comp) matches the two-pass default, gradients exactly —
+    XLA fallback and Pallas interpret mode."""
+    out_dim = 200  # k == 1 (the fused path's regime; LP shape)
+    src, dst, rel, norm, n, R, E = random_graph(
+        seed=43, **({"n": 24, "E": 80, "R": 4} if interpret else {}))
+    rng = np.random.default_rng(44)
+    B = 2
+    rb = 8 if interpret else 16
+    plans = rl.build_layer_plans(src, dst, rel, norm, n, 1, 1,
+                                 row_block=rb, edge_block=8,
+                                 kind="identity_basis")
+    lw = rl.line_width(1, out_dim)
+    comp = jnp.asarray(rng.standard_normal((R, B)).astype(np.float32))
+    packed = jnp.asarray(rng.standard_normal(
+        (B, plans.n_in_rows, lw)).astype(np.float32))
+    cot = jnp.asarray(rng.standard_normal((n, out_dim)).astype(np.float32))
+
+    def loss(c, p):
+        return jnp.vdot(rl.featureless_basis(c, p, plans, out_dim,
+                                             interpret), cot)
+
+    monkeypatch.delenv("MRGCN_FUSED_BASIS_BWD", raising=False)
+    g0 = jax.grad(loss, argnums=(0, 1))(comp, packed)
+
+    monkeypatch.setenv("MRGCN_FUSED_BASIS_BWD", "1")
+    if interpret:
+        monkeypatch.setenv("MRGCN_FORCE_PALLAS_GATHER", "1")
+    g1 = jax.grad(loss, argnums=(0, 1))(comp, packed)
+    for a, b in zip(g1, g0):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)

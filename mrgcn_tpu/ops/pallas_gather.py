@@ -419,8 +419,11 @@ def _scatter_dot_kernel(outblk_ref, local_ref, w_ref, dvn_ref, table_hbm,
             onehot, tbl[:], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)          # (EB, L)
-        dots_ref[0, pl.ds(j * edge_block, edge_block)] = jnp.sum(
-            gathered * dvn, axis=1)
+        d = jnp.sum(gathered * dvn, axis=1)            # (EB,)
+        # dots block is (1, 8, SB*EB) — 8 sublanes to satisfy the TPU
+        # tile constraint; all rows carry the same values, row 0 is read
+        dots_ref[0, :, pl.ds(j * edge_block, edge_block)] = \
+            jnp.broadcast_to(d[None, :], (8, edge_block))
 
         is_last = g == n_sub - 1
         nxt = jnp.minimum(g + 1, n_sub - 1)
@@ -499,8 +502,8 @@ def _pallas_scatter_dot(dvn, w, local, out_blk, table, out_rows, *,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),
-                   pl.BlockSpec((1, super_blocks * edge_block),
-                                lambda i, ob: (i, 0))),
+                   pl.BlockSpec((1, 8, super_blocks * edge_block),
+                                lambda i, ob: (i, 0, 0))),
         scratch_shapes=[
             pltpu.VMEM((2, row_block, L), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -519,7 +522,8 @@ def _pallas_scatter_dot(dvn, w, local, out_blk, table, out_rows, *,
         kernel, grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((out_rows, L), jnp.float32),
                    jax.ShapeDtypeStruct(
-                       (n_super, super_blocks * edge_block), jnp.float32)),
+                       (n_super, 8, super_blocks * edge_block),
+                       jnp.float32)),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(out_blk, local3, w3, dvn3, jnp.asarray(table, jnp.float32))
@@ -529,7 +533,7 @@ def _pallas_scatter_dot(dvn, w, local, out_blk, table, out_rows, *,
         True, mode="drop")
     mask = jnp.repeat(covered, row_block)
     return (jnp.where(mask[:, None], out, 0.0),
-            dots.reshape(-1)[:E_in])
+            dots[:, 0, :].reshape(-1)[:E_in])
 
 
 def fused_scatter_dot(dvn: jnp.ndarray, w: jnp.ndarray,

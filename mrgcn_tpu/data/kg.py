@@ -35,8 +35,10 @@ def _format_of(path: str) -> str:
         return "rdfxml"
     raise ValueError(
         f"Unsupported RDF serialisation {'.' + ext if ext else path!r}: "
-        f"{path}. Supported: N-Triples (.nt[.gz]), Turtle (.ttl[.gz]) "
-        f"and RDF/XML (.rdf/.owl/.xml[.gz]).")
+        f"{path}. Supported: N-Triples (.nt[.gz]), N-Quads (.nq[.gz]), "
+        f"Turtle (.ttl/.n3[.gz]) and RDF/XML (.rdf/.rdfs/.owl/.xml[.gz]). "
+        f"Convert other serialisations (TriG, JSON-LD, ...) to N-Triples "
+        f"first, e.g. with `rapper` or rdflib.")
 
 
 def _read_path(path: str):

@@ -23,6 +23,12 @@ from flax import linen as nn
 
 from mrgcn_tpu.models import init as tinit
 
+# recognised TextEncoder attention implementations; anything else (e.g. a
+# typo'd MRGCN_TEXT_ATTN) is rejected up front — an unknown value used to
+# fall through to the flax MHA branch, whose DIFFERENT param tree surfaces
+# as an opaque checkpoint tree-mismatch far from the cause
+ATTN_IMPLS = ("auto", "xla", "flash", "plain", "plain_fused", "fused_core")
+
 # TCNN input-length classes (reference: temporal_cnn.py:7-9; note size M
 # uses LENGTH_L as its minimal input length, reference: temporal_cnn.py:57)
 TCNN_LENGTH_S = 20
@@ -258,6 +264,10 @@ class TextEncoder(nn.Module):
     def __call__(self, tokens: jnp.ndarray, train: bool = False
                  ) -> jnp.ndarray:
         # tokens: (N, L) int32
+        if self.attn_impl not in ATTN_IMPLS:
+            raise ValueError(
+                f"Unknown attn_impl {self.attn_impl!r} (check "
+                f"MRGCN_TEXT_ATTN); expected one of {ATTN_IMPLS}")
         mask = (tokens != self.pad_id)
         embedding = self.param(
             "embedding",

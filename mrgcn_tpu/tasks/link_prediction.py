@@ -88,7 +88,9 @@ class LPBatch:
     num_triples: int = 0     # real triple count (== len(data) if unpadded)
     num_pool: int = 0        # real corrupt_pool length (rest is padding)
     # cached distmult.RankPlan — the batch's facts are static, so the
-    # host filter walk + chunk upload happen once, not per eval epoch
+    # host filter walk + chunk upload happen once, not per eval epoch.
+    # Keyed on a content fingerprint of the facts/num_valid/chunking
+    # (see _plan_fingerprint): mutating a batch's facts rebuilds the plan
     rank_plan: object = None
 
     @property
@@ -334,6 +336,17 @@ def group_lp_batches(batches: List[LPBatch]):
             for key in order]
 
 
+def _plan_fingerprint(datas: List[np.ndarray], num_valid: int,
+                      mrr_batchsize: int) -> tuple:
+    """Content hash of the inputs a cached RankPlan was built from. CRC32
+    over the fact arrays is ~μs per MB — negligible next to the ranking
+    programs it guards."""
+    import zlib
+    return (int(num_valid), int(mrr_batchsize),
+            tuple((d.shape, zlib.crc32(np.ascontiguousarray(d).tobytes()))
+                  for d in datas))
+
+
 def evaluate(batches: List[LPBatch], embed_fn, params, batch_stats,
              mrr_batchsize: int, filter_ranks: bool):
     """Per-pair ranking, averaged over pairs
@@ -372,16 +385,21 @@ def evaluate(batches: List[LPBatch], embed_fn, params, batch_stats,
     for _, members in groups:
         b0 = batches[members[0]]
         emb = embed_fn(params, batch_stats, b0.features, b0.edges)
+        datas = [batches[bi].real_data
+                 if batches[bi].num_triples else batches[bi].data
+                 for bi in members]
+        # cache keyed on a content fingerprint of everything the plan
+        # depends on — any change to a member's facts, the candidate
+        # count, or the chunking rebuilds it (CLAUDE.md invariant,
+        # mechanical rather than by convention)
+        fp = _plan_fingerprint(datas, b0.num_valid, mrr_batchsize)
         cached = b0.rank_plan
         if not (isinstance(cached, tuple) and len(cached) == 3
-                and cached[2] == len(members)):
-            datas = [batches[bi].real_data
-                     if batches[bi].num_triples else batches[bi].data
-                     for bi in members]
+                and cached[2] == fp):
             plan, bounds = distmult.prepare_rank_chunks_many(
                 datas, int(emb.shape[0]), chunk_size=mrr_batchsize,
                 num_valid=b0.num_valid)
-            b0.rank_plan = cached = (plan, bounds, len(members))
+            b0.rank_plan = cached = (plan, bounds, fp)
         plan, bounds, _ = cached
         group_bounds.append(bounds)
         pendings.append(distmult.launch_ranks_plan(plan, emb, relations))
@@ -442,6 +460,14 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
                                        axis=0)
         data["valid"] = None
 
+    # load any checkpoint BEFORE the model builds: the text-attention impl
+    # (and with it the param-tree shape) is resolved at trace time, so a
+    # checkpoint saved under a different default must pin it up front
+    state = None
+    if checkpoint is not None:
+        state = tutils.load_checkpoint(checkpoint)
+        tutils.reconcile_text_attn(state["params"])
+
     model = build_model(inputs, config)
 
     jrng = jax.random.PRNGKey(seed)
@@ -457,9 +483,8 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
     opt_state = optimizer.init(params)
 
     epoch = 0
-    if checkpoint is not None:
+    if state is not None:
         print("[LOAD] Loading model state", end="")
-        state = tutils.load_checkpoint(checkpoint)
         params = jax.tree.map(jnp.asarray, state["params"])
         opt_state = tutils.restore_opt_state(opt_state, state["opt_state"])
         batch_stats = jax.tree.map(jnp.asarray, state["batch_stats"])

@@ -342,6 +342,14 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
         Y_train = np.concatenate([Y_train, Y_valid], axis=0)
         Y_valid = None
 
+    # load any checkpoint BEFORE the model builds: the text-attention impl
+    # (and with it the param-tree shape) is resolved at trace time, so a
+    # checkpoint saved under a different default must pin it up front
+    state = None
+    if checkpoint is not None:
+        state = tutils.load_checkpoint(checkpoint)
+        tutils.reconcile_text_attn(state["params"])
+
     model = build_model(inputs, config, num_classes)
 
     rng = jax.random.PRNGKey(seed)
@@ -357,9 +365,8 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
     opt_state = optimizer.init(params)
 
     epoch = 0
-    if checkpoint is not None:
+    if state is not None:
         print("[LOAD] Loading model state", end="")
-        state = tutils.load_checkpoint(checkpoint)
         params = jax.tree.map(jnp.asarray, state["params"])
         opt_state = tutils.restore_opt_state(opt_state, state["opt_state"])
         batch_stats = jax.tree.map(jnp.asarray, state["batch_stats"])

@@ -75,14 +75,73 @@ def _param_labels(params, optimizer_config: Dict, featureless: bool):
     return jax.tree_util.tree_map_with_path(label, params)
 
 
-def _adam_like(lr: float, weight_decay: float, params_mask=None):
-    """torch ``optim.Adam(lr, weight_decay)`` equivalence: decay is added to
-    the gradient *before* the Adam moments."""
+def _scale_by_amsgrad_torch(b1: float, b2: float, eps: float):
+    """torch-exact AMSGrad scaling: the running max is over the RAW second
+    moment, bias-corrected afterwards (``optax.amsgrad`` maxes the
+    bias-corrected value instead, which diverges as the correction term
+    decays — pinned against torch in tests/test_trainer_utils.py)."""
+
+    def init(params):
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return {"count": jnp.zeros([], jnp.int32), "mu": zeros,
+                "nu": zeros, "nu_max": zeros}
+
+    def update(updates, state, params=None):
+        del params
+        count = state["count"] + 1
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                          state["mu"], updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                          state["nu"], updates)
+        nu_max = jax.tree.map(jnp.maximum, state["nu_max"], nu)
+        c = count.astype(jnp.float32)
+        bc1 = 1.0 - b1 ** c
+        bc2 = 1.0 - b2 ** c
+        out = jax.tree.map(
+            lambda m, vm: (m / bc1) / (jnp.sqrt(vm / bc2) + eps),
+            mu, nu_max)
+        return out, {"count": count, "mu": mu, "nu": nu, "nu_max": nu_max}
+
+    return optax.GradientTransformation(init, update)
+
+
+def _adam_like(lr: float, weight_decay: float, betas=(0.9, 0.999),
+               eps: float = 1e-8, amsgrad: bool = False, params_mask=None):
+    """torch ``optim.Adam(lr, weight_decay, betas, eps, amsgrad)``
+    equivalence: decay is added to the gradient *before* the Adam moments;
+    ``amsgrad`` keeps the running max of the second moment."""
     steps = []
     if weight_decay and weight_decay > 0:
         steps.append(optax.add_decayed_weights(weight_decay, params_mask))
-    steps.append(optax.adam(lr))
+    if amsgrad:
+        steps.append(_scale_by_amsgrad_torch(float(betas[0]),
+                                             float(betas[1]), float(eps)))
+        steps.append(optax.scale(-lr))
+    else:
+        steps.append(optax.adam(lr, b1=float(betas[0]), b2=float(betas[1]),
+                                eps=float(eps)))
     return optax.chain(*steps)
+
+
+# per-group optimizer kwargs the reference forwards verbatim into
+# ``torch.optim.Adam`` param groups (reference: tasks/utils.py:8-45 — any
+# ``optim_*`` config key lands in the group dict)
+_ADAM_KWARGS = {"lr", "weight_decay", "betas", "eps", "amsgrad"}
+
+
+def _group_adam(cfg: Dict, base_lr: float, base_wd: float, label: str):
+    unknown = set(cfg) - _ADAM_KWARGS
+    if unknown:
+        # torch param groups carry unknown keys without error (Adam's step
+        # never reads them) — warn-ignore matches that
+        logger.warning("Ignoring unsupported optim params for %s: %s "
+                       "(supported: %s)", label, sorted(unknown),
+                       sorted(_ADAM_KWARGS))
+    return _adam_like(cfg.get("lr", base_lr),
+                      cfg.get("weight_decay", base_wd),
+                      betas=cfg.get("betas", (0.9, 0.999)),
+                      eps=cfg.get("eps", 1e-8),
+                      amsgrad=bool(cfg.get("amsgrad", False)))
 
 
 def build_optimizer(params, config: Dict, optimizer_config: Dict,
@@ -98,18 +157,12 @@ def build_optimizer(params, config: Dict, optimizer_config: Dict,
     transforms = {"default": _adam_like(base_lr, base_wd)}
     if "gates" in present:
         gates_cfg = (optimizer_config or {}).get("gate_weights", {})
-        transforms["gates"] = _adam_like(gates_cfg.get("lr", base_lr),
-                                         gates_cfg.get("weight_decay",
-                                                       base_wd))
+        transforms["gates"] = _group_adam(gates_cfg, base_lr, base_wd,
+                                          "gate_weights")
     for datatype, cfg in (optimizer_config or {}).items():
         if datatype == "gate_weights" or datatype not in present:
             continue
-        unknown = set(cfg) - {"lr", "weight_decay"}
-        if unknown:
-            logger.warning("Ignoring unsupported optim params for %s: %s",
-                           datatype, sorted(unknown))
-        transforms[datatype] = _adam_like(cfg.get("lr", base_lr),
-                                          cfg.get("weight_decay", base_wd))
+        transforms[datatype] = _group_adam(cfg, base_lr, base_wd, datatype)
 
     for lbl in present:  # any label without explicit config -> default
         transforms.setdefault(lbl, _adam_like(base_lr, base_wd))
@@ -229,6 +282,65 @@ def load_checkpoint(path: str) -> Dict:
         state = pickle.load(f)
     state["format"] = "pickle"
     return state
+
+
+# text-attention param-tree flavours a checkpoint can carry, keyed by a
+# child key that appears only in that flavour's _TextBlock subtree, with
+# the attn_impl values that produce the same tree. The 'auto' default
+# changed in round 4 (flax MHA -> fused qkv/out Dense), so checkpoints
+# saved under the old default need MRGCN_TEXT_ATTN=xla — detected here at
+# load time instead of surfacing as an opaque tree mismatch mid-apply.
+_ATTN_TREE_FLAVOURS = (
+    # (marker key prefix, flavour name, compatible impls, auto-fix impl)
+    ("MultiHeadDotProductAttention", "flax-MHA", ("xla", "flash"), "xla"),
+    ("qkv", "fused-QKV", ("plain_fused", "fused_core", "auto"), None),
+    ("query", "split-QKV", ("plain",), "plain"),
+)
+
+
+def _find_text_blocks(params, out):
+    if not isinstance(params, dict):
+        return
+    for key, val in params.items():
+        if key.startswith("_TextBlock_") and isinstance(val, dict):
+            out.append(val)
+        else:
+            _find_text_blocks(val, out)
+
+
+def reconcile_text_attn(params) -> None:
+    """Inspect a *loaded checkpoint's* text-encoder subtree and reconcile
+    ``MRGCN_TEXT_ATTN`` with it BEFORE the model is built: auto-select a
+    compatible impl when the env var is unset/'auto', fail with an explicit
+    message when it is explicitly incompatible. No-op for checkpoints
+    without a from-scratch TextEncoder."""
+    import os
+    blocks: list = []
+    _find_text_blocks(params, blocks)
+    if not blocks:
+        return
+    flavour = None
+    for marker, name, compatible, fix in _ATTN_TREE_FLAVOURS:
+        if any(k.startswith(marker) for k in blocks[0]):
+            flavour = (name, compatible, fix)
+            break
+    if flavour is None:
+        return
+    name, compatible, fix = flavour
+    current = os.environ.get("MRGCN_TEXT_ATTN", "auto")
+    if current in compatible:
+        return
+    if current == "auto" and fix is not None:
+        logger.warning(
+            "Checkpoint carries a %s text-attention param tree; "
+            "selecting MRGCN_TEXT_ATTN=%s for this run (the 'auto' "
+            "default changed to the fused path)", name, fix)
+        os.environ["MRGCN_TEXT_ATTN"] = fix
+        return
+    raise RuntimeError(
+        f"Checkpoint text-attention param tree is {name}, incompatible "
+        f"with MRGCN_TEXT_ATTN={current}; set MRGCN_TEXT_ATTN="
+        f"{fix or compatible[0]} to load it")
 
 
 def restore_opt_state(template, stored):

@@ -138,6 +138,49 @@ def nc_config(paths: Dict, name: str = "SYNTH-NC",
     }
 
 
+def full_mm_features(image_size: int = 32) -> List[Dict]:
+    """One feature block per encoder family — MLP1 (numeric, boolean),
+    MLP2 (date, gYear), text (string), TCNN (wktLiteral), CNN (image) —
+    so a config built on these exercises every modality encoder."""
+    return [
+        {"datatype": "xsd.numeric", "include": True,
+         "share_weights": False, "embedding_dim": 4, "p_dropout": 0.0},
+        {"datatype": "xsd.boolean", "include": True,
+         "share_weights": True, "embedding_dim": 2, "p_dropout": 0.0},
+        {"datatype": "xsd.date", "include": True,
+         "share_weights": True, "embedding_dim": 3, "p_dropout": 0.0},
+        {"datatype": "xsd.gYear", "include": True,
+         "share_weights": True, "embedding_dim": 4, "p_dropout": 0.0},
+        {"datatype": "xsd.string", "include": True,
+         "share_weights": True, "embedding_dim": 8, "p_dropout": 0.0},
+        {"datatype": "ogc.wktLiteral", "include": True,
+         "share_weights": True, "embedding_dim": 8, "p_dropout": 0.0},
+        {"datatype": "blob.image", "include": True,
+         "share_weights": True, "embedding_dim": 8, "p_dropout": 0.0,
+         "transform": {"mode": "RGB", "interpolationMode": "BILINEAR",
+                       "resizeSize": image_size + 4,
+                       "centerCrop": image_size}},
+    ]
+
+
+def make_full_mm_nc(dirpath: str, num_entities: int = 48,
+                    seed: int = 7, epochs: int = 6):
+    """Full-multimodal node classification: dataset + config covering all
+    six encoder families (string/image/WKT included — the modalities the
+    round-4 mesh coverage never ran). Returns ``(paths, config)``; the
+    config still needs ``mrgcn_tpu.config.apply_defaults``."""
+    from tests import prestage
+
+    config = nc_config({"context": "", "train": "", "valid": "",
+                        "test": ""}, name="SYNTH-MM-NC", epochs=epochs)
+    config["graph"]["features"] = full_mm_features()
+    paths = prestage.make_dataset_for_config(config, dirpath,
+                                             num_entities=num_entities,
+                                             seed=seed)
+    config["graph"].update(paths)
+    return paths, config
+
+
 def make_lp_dataset(dirpath: str, num_entities: int = 40,
                     with_literals: bool = False, seed: int = 7) -> Dict:
     """Small link-prediction KG with structured relations; optionally with

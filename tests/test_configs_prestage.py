@@ -27,9 +27,27 @@ from mrgcn_tpu.tasks import link_prediction, node_classification
 
 from tests import prestage
 
-CONFIGS = sorted(glob.glob(os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "configs", "*.toml")))
+CONFIGS = sorted(
+    p for p in glob.glob(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "configs", "*.toml"))
+    # *_reference.toml are hyperparameter-only variants of their base
+    # config (same features/task surface) — prestaging them would re-run
+    # the heaviest path for no new coverage; divergence is pinned in
+    # test_reference_variant_diverges_only_in_hyperparams
+    if not p.endswith("_reference.toml"))
+
+
+def test_reference_variant_diverges_only_in_hyperparams():
+    base = load_config(os.path.join(os.path.dirname(CONFIGS[0]),
+                                    "dmg.toml"))
+    ref = load_config(os.path.join(os.path.dirname(CONFIGS[0]),
+                                   "dmg_reference.toml"))
+    assert ref["task"].pop("batchsize") == 32
+    assert base["task"].pop("batchsize") == -1
+    assert ref["model"].pop("epoch") == 50
+    assert base["model"].pop("epoch") == 500
+    assert ref == base
 
 
 @pytest.mark.parametrize("config_path", CONFIGS,

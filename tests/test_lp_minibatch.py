@@ -90,3 +90,56 @@ def test_lp_with_literal_features(tmp_path):
     # the gate and the numeric encoder exist and trained
     assert "gate_weights" in params
     assert "xsd_numeric_0" in params
+
+
+def test_rank_plan_invalidates_on_fact_change(lp_setup):
+    """The cached LPBatch.rank_plan is keyed on fact CONTENT: mutating a
+    batch's triples rebuilds the plan and changes the ranks (the CLAUDE.md
+    invariant, enforced mechanically rather than by convention)."""
+    import copy as _copy
+
+    import jax.numpy as jnp
+
+    art, config = lp_setup
+    from mrgcn_tpu.tasks.common import prepare_inputs
+    inputs = prepare_inputs(art, config, featureless=True)
+    data = np.asarray(art.data["train"])
+    batches = link_prediction.make_lp_batches(inputs, data, -1, -1, 2)
+
+    rng = np.random.default_rng(0)
+    E = jnp.asarray(rng.standard_normal(
+        (inputs.num_nodes, 8)).astype(np.float32))
+    R = rng.standard_normal((inputs.num_relations, 8)).astype(np.float32)
+    params = {"rgcn": {"relations": jnp.asarray(R)}}
+    embed_fn = lambda p, bs, f, e: E
+
+    mrr1, _, ranks1 = link_prediction.evaluate(
+        batches, embed_fn, params, {}, mrr_batchsize=32, filter_ranks=True)
+    plan1 = batches[0].rank_plan
+    assert plan1 is not None
+
+    # unchanged facts: the plan is reused, results identical
+    mrr1b, _, ranks1b = link_prediction.evaluate(
+        batches, embed_fn, params, {}, mrr_batchsize=32, filter_ranks=True)
+    assert batches[0].rank_plan is plan1
+    assert ranks1b == ranks1
+
+    # mutate one real triple's tail -> plan rebuilds, ranks change
+    mutated = batches[0].data.copy()
+    old_tail = int(mutated[0, 2])
+    mutated[0, 2] = (old_tail + 1) % batches[0].num_valid
+    batches[0].data = mutated
+
+    mrr2, _, ranks2 = link_prediction.evaluate(
+        batches, embed_fn, params, {}, mrr_batchsize=32, filter_ranks=True)
+    assert batches[0].rank_plan is not plan1
+    assert ranks2 != ranks1
+
+    # and the rebuilt plan matches a from-scratch evaluation of the
+    # mutated facts
+    fresh = [_copy.copy(b) for b in batches]
+    for b in fresh:
+        b.rank_plan = None
+    _, _, ranks_fresh = link_prediction.evaluate(
+        fresh, embed_fn, params, {}, mrr_batchsize=32, filter_ranks=True)
+    assert ranks2 == ranks_fresh

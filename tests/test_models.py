@@ -389,3 +389,18 @@ def test_image_cnn_dense_blocks():
     g = jax.grad(lambda v: jnp.sum(enc.apply(v, imgs)))(variables)
     leaves = jax.tree_util.tree_leaves(g)
     assert leaves and all(np.isfinite(np.asarray(x)).all() for x in leaves)
+
+
+def test_text_encoder_rejects_unknown_attn_impl():
+    """A typo'd MRGCN_TEXT_ATTN fails up front, not as an opaque
+    checkpoint tree mismatch (the flax-MHA fallthrough it used to hit
+    has a different param tree)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+    from mrgcn_tpu.models.encoders import TextEncoder
+
+    enc = TextEncoder(output_dim=4, attn_impl="fused")
+    tokens = jnp.zeros((2, 8), jnp.int32)
+    with pytest.raises(ValueError, match="Unknown attn_impl"):
+        enc.init(jax.random.PRNGKey(0), tokens)

@@ -151,3 +151,90 @@ def test_npz_checkpoint_roundtrip_no_pickle(tmp_path):
     for x, y in zip(jax.tree_util.tree_leaves(restored),
                     jax.tree_util.tree_leaves(opt_state)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_optim_kwargs_torch_adam_parity():
+    """Per-group betas/eps/weight_decay/amsgrad reproduce
+    ``torch.optim.Adam`` step for step (the reference forwards these
+    verbatim into Adam param groups, reference: tasks/utils.py:8-45)."""
+    import torch
+
+    rng = np.random.default_rng(5)
+    w0 = rng.standard_normal((4, 3)).astype(np.float32)
+    grads = [rng.standard_normal((4, 3)).astype(np.float32)
+             for _ in range(5)]
+
+    for amsgrad in (False, True):
+        kw = dict(lr=0.01, betas=(0.7, 0.95), eps=1e-3, weight_decay=0.1)
+        tw = torch.nn.Parameter(torch.tensor(w0))
+        topt = torch.optim.Adam([tw], amsgrad=amsgrad, **kw)
+        for g in grads:
+            tw.grad = torch.tensor(g)
+            topt.step()
+
+        opt = tutils._adam_like(kw["lr"], kw["weight_decay"],
+                                betas=kw["betas"], eps=kw["eps"],
+                                amsgrad=amsgrad)
+        params = jnp.asarray(w0)
+        state = opt.init(params)
+        for g in grads:
+            updates, state = opt.update(jnp.asarray(g), state, params)
+            params = optax.apply_updates(params, updates)
+        np.testing.assert_allclose(np.asarray(params),
+                                   tw.detach().numpy(), atol=1e-5)
+
+
+def test_optim_group_kwargs_change_the_update():
+    """A per-datatype ``optim_betas`` override changes that group's update
+    while the default group is untouched."""
+    config = {"model": {"learning_rate": 0.01, "weight_decay": 0.0}}
+
+    def two_steps(optimizer_config):
+        opt = tutils.build_optimizer(PARAMS, config, optimizer_config,
+                                     featureless=False)
+        params = PARAMS
+        state = opt.init(params)
+        for scale in (1.0, 0.25):  # betas only matter once grads vary
+            grads = jax.tree.map(lambda x: scale * jnp.ones_like(x),
+                                 params)
+            updates, state = opt.update(grads, state, params)
+            params = optax.apply_updates(params, updates)
+        return params
+
+    base = two_steps({"xsd.numeric": {}})
+    tuned = two_steps({"xsd.numeric": {"betas": [0.5, 0.9],
+                                       "eps": 1e-4, "amsgrad": True}})
+    k = lambda p: np.asarray(p["xsd_numeric_0"]["Dense_0"]["kernel"])
+    d = lambda p: np.asarray(p["rgcn"]["layer_0"]["weight_i"])
+    assert not np.allclose(k(base), k(tuned))
+    np.testing.assert_array_equal(d(base), d(tuned))
+
+
+def test_reconcile_text_attn_legacy_mha_autoselects_xla(monkeypatch):
+    monkeypatch.delenv("MRGCN_TEXT_ATTN", raising=False)
+    params = {"xsd_string_0": {"_TextBlock_0": {
+        "MultiHeadDotProductAttention_0": {"query": {"kernel": 0}},
+        "LayerNorm_0": {}}}}
+    tutils.reconcile_text_attn(params)
+    import os
+    assert os.environ["MRGCN_TEXT_ATTN"] == "xla"
+
+
+def test_reconcile_text_attn_explicit_conflict_raises(monkeypatch):
+    monkeypatch.setenv("MRGCN_TEXT_ATTN", "fused_core")
+    params = {"xsd_string_0": {"_TextBlock_0": {
+        "MultiHeadDotProductAttention_0": {"query": {"kernel": 0}}}}}
+    with pytest.raises(RuntimeError, match="MRGCN_TEXT_ATTN=xla"):
+        tutils.reconcile_text_attn(params)
+
+
+def test_reconcile_text_attn_fused_tree_is_noop(monkeypatch):
+    monkeypatch.delenv("MRGCN_TEXT_ATTN", raising=False)
+    import os
+    params = {"xsd_string_0": {"_TextBlock_0": {
+        "qkv": {"kernel": 0}, "out": {"kernel": 0}}}}
+    tutils.reconcile_text_attn(params)
+    assert "MRGCN_TEXT_ATTN" not in os.environ
+    # and a checkpoint without any text encoder never touches the env
+    tutils.reconcile_text_attn({"rgcn": {"relations": 0}})
+    assert "MRGCN_TEXT_ATTN" not in os.environ

@@ -255,9 +255,12 @@ class TextEncoder(nn.Module):
     # standard memory/time trade for long-sequence or large-batch
     # configurations where activations would not fit HBM.
     remat: bool = False
-    # see models/mrgcn.py: Pallas encoder kernels default off under a
-    # multi-chip mesh (no SPMD partitioning rule for pallas custom calls)
+    # see models/mrgcn.py: with a ``mesh`` the Pallas encoder kernels run
+    # inside shard_map over the data axis; ``under_mesh`` WITHOUT a mesh
+    # keeps the XLA-equivalent paths (no SPMD partitioning rule for bare
+    # pallas custom calls)
     under_mesh: bool = False
+    mesh: Optional[object] = None
 
 
     @nn.compact
@@ -297,8 +300,12 @@ class TextEncoder(nn.Module):
             # NOTE: this changed the auto param tree in round 4 (fused
             # qkv/out Dense instead of flax MHA params) — checkpoints
             # saved on the old default load with MRGCN_TEXT_ATTN=xla
+            # (detected at load time by tasks/utils.reconcile_text_attn).
+            # Under a mesh, fused_core runs shard_map-wrapped; under_mesh
+            # WITHOUT a mesh object keeps the pallas-free fused path
             if self.num_heads == 1 and self.key_only_mask:
-                attn_impl = "plain_fused" if self.under_mesh \
+                attn_impl = "plain_fused" \
+                    if (self.under_mesh and self.mesh is None) \
                     else "fused_core"
             else:
                 attn_impl = "xla"
@@ -310,7 +317,7 @@ class TextEncoder(nn.Module):
                           num_heads=self.num_heads, dtype=self.dtype,
                           attn_impl=attn_impl,
                           deterministic=not train,
-                          under_mesh=self.under_mesh,
+                          under_mesh=self.under_mesh, mesh=self.mesh,
                           name=f"_TextBlock_{i}")(x, attn_mask)
         x = nn.LayerNorm(dtype=self.dtype)(x)
 
@@ -334,6 +341,7 @@ class _TextBlock(nn.Module):
     attn_impl: str = "auto"
     deterministic: bool = True
     under_mesh: bool = False
+    mesh: Optional[object] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
@@ -372,14 +380,22 @@ class _TextBlock(nn.Module):
                 # probabilities never touch HBM (ops/attention.py); XLA
                 # chain on non-TPU backends, interpret mode in tests
                 from mrgcn_tpu.ops.attention import (fused_attention,
+                                                     fused_attention_mesh,
                                                      xla_attention)
                 from mrgcn_tpu.ops.pallas_gather import _use_pallas
                 if _use_pallas():
                     import os
-                    y = fused_attention(
-                        q, k, v, keys_valid,
-                        interpret=os.environ.get(
-                            "MRGCN_FORCE_PALLAS_GATHER") == "1")
+                    interp = os.environ.get(
+                        "MRGCN_FORCE_PALLAS_GATHER") == "1"
+                    if self.mesh is not None:
+                        # shard_map over the data axis — a bare pallas
+                        # call has no GSPMD partitioning rule
+                        y = fused_attention_mesh(q, k, v, keys_valid,
+                                                 self.mesh,
+                                                 interpret=interp)
+                    else:
+                        y = fused_attention(q, k, v, keys_valid,
+                                            interpret=interp)
                 else:
                     y = xla_attention(q, k, v, keys_valid)
             else:
@@ -401,7 +417,8 @@ class _TextBlock(nn.Module):
         x = x + y
         y = nn.LayerNorm(dtype=self.dtype)(x)
         import os
-        mlp_default = "0" if self.under_mesh else "fused"
+        mlp_default = "0" if (self.under_mesh and self.mesh is None) \
+            else "fused"
         if os.environ.get("MRGCN_TEXT_MLP", mlp_default) == "fused":
             # fused MLP kernel (DEFAULT; MRGCN_TEXT_MLP=0 reverts): the
             # (rows, 4d) hidden tensor stays in VMEM, backward recomputes
@@ -410,17 +427,20 @@ class _TextBlock(nn.Module):
             # IDENTICAL to the two nn.Dense modules below (same
             # auto-names, inits), so the flag flips on a checkpoint; on
             # non-TPU backends the same params run the plain jnp chain.
-            from mrgcn_tpu.ops.fused_mlp import fused_mlp
+            # Under a mesh the kernel runs shard_map-wrapped over rows.
+            from mrgcn_tpu.ops.fused_mlp import fused_mlp, fused_mlp_mesh
             from mrgcn_tpu.ops.pallas_gather import _use_pallas
             d = self.model_dim
             k1, b1 = _DenseParams(4 * d, name="Dense_0")(d)
             k2, b2 = _DenseParams(d, name="Dense_1")(4 * d)
             if _use_pallas():
-                y = fused_mlp(
-                    y, k1.astype(self.dtype), b1.astype(self.dtype),
-                    k2.astype(self.dtype), b2.astype(self.dtype),
-                    interpret=os.environ.get(
-                        "MRGCN_FORCE_PALLAS_GATHER") == "1")
+                interp = os.environ.get(
+                    "MRGCN_FORCE_PALLAS_GATHER") == "1"
+                args = (y, k1.astype(self.dtype), b1.astype(self.dtype),
+                        k2.astype(self.dtype), b2.astype(self.dtype))
+                y = fused_mlp_mesh(*args, self.mesh, interpret=interp) \
+                    if self.mesh is not None \
+                    else fused_mlp(*args, interpret=interp)
                 y = y.astype(self.dtype)
             else:
                 h = jnp.dot(y, k1.astype(self.dtype)) \

@@ -104,13 +104,15 @@ class MRGCN(nn.Module):
     # checkpoints stay structurally stable; task drivers rebuild the model
     # with the dead set when loaded gates are zero.
     skip_encoders: Tuple[str, ...] = ()
-    # built for multi-chip mesh training: encoder Pallas kernels (fused
-    # attention core / fused MLP) default OFF — they run inside the
-    # GSPMD-partitioned program (not shard_map-wrapped like the R-GCN
-    # engine) and a pallas custom call carries no SPMD partitioning
-    # rule; the XLA-equivalent paths run instead until validated on
-    # real multi-chip hardware. Explicit MRGCN_TEXT_{ATTN,MLP} win.
+    # built for multi-chip mesh training. A pallas custom call carries no
+    # GSPMD partitioning rule, so when ``mesh`` is provided the encoder
+    # Pallas kernels (fused attention core / fused MLP) run inside
+    # shard_map over the data axis (ops/attention.fused_attention_mesh,
+    # ops/fused_mlp.fused_mlp_mesh) — same pattern as the R-GCN engine.
+    # ``under_mesh`` without a mesh object keeps the conservative
+    # XLA-equivalent paths. Explicit MRGCN_TEXT_{ATTN,MLP} win.
     under_mesh: bool = False
+    mesh: Optional[object] = None
 
     def setup(self):
         encoders = {}
@@ -149,7 +151,8 @@ class MRGCN(nn.Module):
                         # TextEncoder's measured defaults
                         attn_impl=os.environ.get("MRGCN_TEXT_ATTN",
                                                  "auto"),
-                        under_mesh=self.under_mesh, name=name)
+                        under_mesh=self.under_mesh, mesh=self.mesh,
+                        name=name)
             elif datatype == "ogc.wktLiteral":
                 _, dim_out, size, dropout = args
                 encoders[name] = TCNN(output_dim=dim_out, size=size,

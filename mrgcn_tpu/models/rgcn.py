@@ -21,6 +21,7 @@ from flax import struct
 
 from mrgcn_tpu.models import init as tinit
 from mrgcn_tpu.ops import rspmm
+from mrgcn_tpu.ops.pallas_gather import interp_mode as _interp
 
 
 @struct.dataclass
@@ -113,7 +114,8 @@ def _identity_planned(packed, comp, plan, out_dim):
             # single-pass backward over the cotangent table: d_comp and
             # d_packed come from ONE read of d_t
             # (ops/relational.featureless_composed)
-            return rl.featureless_composed(comp, pk, plan, out_dim)
+            return rl.featureless_composed(comp, pk, plan, out_dim,
+                                           interpret=_interp())
         # relation-major 3-D compose with a custom vjp: keeps the
         # (R*rows, lanes) view a free bitcast and the dot exact f32 —
         # train-step cost 42.2 -> 29.0 ms at bench scale
@@ -121,7 +123,8 @@ def _identity_planned(packed, comp, plan, out_dim):
         flat = rspmm.compose_packed(comp, pk)
     else:
         flat = pk
-    return rl.featureless_aggregate(flat.reshape(-1, lw), plan, out_dim)
+    return rl.featureless_aggregate(flat.reshape(-1, lw), plan, out_dim,
+                                    interpret=_interp())
 
 
 def _shard_specs(n: int):
@@ -164,9 +167,10 @@ def _basis_planned(packed, comp, plan, out_dim):
     from mrgcn_tpu.ops import relational as rl
     if os.environ.get("MRGCN_WIDE_BASIS", "0") != "0":
         return rl.featureless_basis_wide(comp, _fit_rows(packed, plan),
-                                         plan, out_dim)
+                                         plan, out_dim,
+                                         interpret=_interp())
     return rl.featureless_basis(comp, _fit_rows(packed, plan), plan,
-                                out_dim)
+                                out_dim, interpret=_interp())
 
 
 def _basis_planned_sharded(packed, comp, plan, out_dim, mesh):
@@ -179,7 +183,7 @@ def _dense_planned_sharded(H, W, plan, in_dim, out_dim, mesh):
 
     def local(h, w, pl):
         out = rl.dense_aggregate(h, w, rl.unstack_plan(pl), in_dim,
-                                 out_dim)
+                                 out_dim, interpret=_interp())
         return jax.lax.psum(out, "data")
 
     in_specs, out_spec = _shard_specs(2)
@@ -192,7 +196,7 @@ def _dense_basis_sharded(H, basis, comp, plan, in_dim, out_dim, mesh):
 
     def local(h, ba, c, pl):
         out = rl.dense_basis(h, ba, c, rl.unstack_plan(pl), in_dim,
-                             out_dim)
+                             out_dim, interpret=_interp())
         return jax.lax.psum(out, "data")
 
     in_specs, out_spec = _shard_specs(3)
@@ -350,10 +354,12 @@ class RGCNLayer(nn.Module):
                 agg = rl.dense_basis_hybrid(
                     H, weight_f, comp_f, dense_basis_plan, edges.grp_src,
                     edges.grp_dst, edges.grp_norm, edges.group_rel,
-                    edges.group_size, H.shape[-1], self.out_dim)
+                    edges.group_size, H.shape[-1], self.out_dim,
+                    interpret=_interp())
             else:
                 agg = rl.dense_basis(H, weight_f, comp_f, dense_basis_plan,
-                                     H.shape[-1], self.out_dim)
+                                     H.shape[-1], self.out_dim,
+                                     interpret=_interp())
         elif plan_f is not None:
             from mrgcn_tpu.ops import relational as rl
             W = rspmm._compose_weights(weight_f, comp_f)
@@ -362,7 +368,8 @@ class RGCNLayer(nn.Module):
                                              self.out_dim, edges.mesh)
             else:
                 agg = rl.dense_aggregate(H, W, plan_f, H.shape[-1],
-                                         self.out_dim)
+                                         self.out_dim,
+                                         interpret=_interp())
         if agg is None and edges.grouped:
             agg = rspmm.transform_aggregate_grouped(
                 H, edges.grp_src, edges.grp_dst, edges.grp_norm,

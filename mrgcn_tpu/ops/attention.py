@@ -182,3 +182,25 @@ def xla_attention(q, k, v, keys_valid):
     logits = jnp.where(keys_valid[:, None, :], logits, jnp.float32(-1e9))
     p = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("nlm,nmd->nld", p, v)
+
+
+def fused_attention_mesh(q, k, v, keys_valid, mesh, interpret=False):
+    """Row-parallel :func:`fused_attention` under a device mesh.
+
+    A pallas custom call carries no GSPMD partitioning rule, so inside a
+    mesh-partitioned program the kernel is wrapped in ``shard_map`` over
+    the ``data`` axis: each chip runs the single-chip kernel on its local
+    sequence rows (attention is per-sequence, so there is nothing to
+    communicate; parameters live OUTSIDE this wrapper). Falls back to the
+    numerically identical XLA chain when the row count does not divide
+    the data axis. Transpose correctness of the replicated-over-``model``
+    specs is pinned in tests/test_mesh_training.py."""
+    from jax.sharding import PartitionSpec as P
+    if q.shape[0] % mesh.shape["data"] != 0:
+        return xla_attention(q, k, v, keys_valid)
+    s3, s2 = P("data", None, None), P("data", None)
+    fn = jax.shard_map(
+        lambda q, k, v, m: fused_attention(q, k, v, m, interpret),
+        mesh=mesh, in_specs=(s3, s3, s3, s2), out_specs=s3,
+        check_vma=False)
+    return fn(q, k, v, keys_valid)

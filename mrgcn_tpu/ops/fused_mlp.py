@@ -167,3 +167,25 @@ def fused_mlp(x: jnp.ndarray, w1: jnp.ndarray, b1: jnp.ndarray,
     out = _mlp_core(x2, w1, b1.reshape(1, hd), w2, b2.reshape(1, d),
                     interpret)
     return out[:M].reshape(*lead, d)
+
+
+def fused_mlp_mesh(x, w1, b1, w2, b2, mesh, interpret=False):
+    """Row-parallel :func:`fused_mlp` under a device mesh (see
+    attention.fused_attention_mesh for the rationale). Rows shard over
+    ``data``; the weights enter replicated (``P()``) and shard_map's
+    transpose psums their per-shard cotangents over the mesh — verified
+    exact on a 4x2 virtual mesh (tests/test_mesh_training.py). Falls back
+    to the plain XLA chain (identical math) when the leading dim does not
+    divide the data axis."""
+    from jax.sharding import PartitionSpec as P
+    if x.shape[0] % mesh.shape["data"] != 0:
+        h = jnp.dot(x, w1) + b1.reshape(1, -1)
+        h = jax.nn.gelu(h, approximate=True)
+        return jnp.dot(h, w2) + b2.reshape(1, -1)
+    sx = P(*(("data",) + (None,) * (x.ndim - 1)))
+    rep = P()
+    fn = jax.shard_map(
+        lambda x, w1, b1, w2, b2: fused_mlp(x, w1, b1, w2, b2, interpret),
+        mesh=mesh, in_specs=(sx, rep, rep, rep, rep), out_specs=sx,
+        check_vma=False)
+    return fn(x, w1, b1, w2, b2)

@@ -52,6 +52,16 @@ def _use_pallas() -> bool:
         return False
 
 
+def interp_mode() -> bool:
+    """True when MRGCN_FORCE_PALLAS_GATHER=1 forces the pallas paths on a
+    non-TPU backend — every kernel invocation must then run in interpret
+    mode. Model-level call sites (models/rgcn.py, models/encoders.py)
+    resolve their ``interpret`` argument through this so a driver-level
+    forced run works end-to-end on CPU."""
+    import os
+    return os.environ.get("MRGCN_FORCE_PALLAS_GATHER") == "1"
+
+
 # DMA pipeline depth: HBM->VMEM copies have ~8 us round-trip latency on a
 # v5e (measured: a 2-slot pipeline bottoms out at ~8.6 us/sub-block,
 # benchmarks/micro_planned.py); keep many copies in flight to hide it

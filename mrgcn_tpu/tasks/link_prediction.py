@@ -57,8 +57,10 @@ def build_dataset(kg, nodes_map, config: Dict, featureless: bool):
     return build_dataset_lp(kg, nodes_map, config, featureless)
 
 
-def build_model(inputs: RunInputs, config: Dict) -> MRGCN:
+def build_model(inputs: RunInputs, config: Dict, mesh=None) -> MRGCN:
     hidden_dims = hidden_dims_from_config(config, None)
+    mesh = mesh if mesh is not None \
+        else getattr(inputs.edges, "mesh", None)
     return MRGCN(hidden_dims=hidden_dims,
                  modules_config=inputs.modules_config,
                  num_relations=inputs.num_relations,
@@ -70,8 +72,7 @@ def build_model(inputs: RunInputs, config: Dict) -> MRGCN:
                  link_prediction=True,
                  text_vocab_size=inputs.text_vocab_size,
                  text_pad_id=inputs.text_pad_id,
-                 under_mesh=getattr(inputs.edges, "mesh", None)
-                 is not None)
+                 under_mesh=mesh is not None, mesh=mesh)
 
 
 @dataclass
@@ -468,7 +469,7 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
         state = tutils.load_checkpoint(checkpoint)
         tutils.reconcile_text_attn(state["params"])
 
-    model = build_model(inputs, config)
+    model = build_model(inputs, config, mesh=mesh)
 
     jrng = jax.random.PRNGKey(seed)
     jrng, init_rng = jax.random.split(jrng)

@@ -58,8 +58,11 @@ def mk_target_matrices(target_triples: Dict, nodes_map: Dict):
 # training driver (run stage)
 # ---------------------------------------------------------------------------
 
-def build_model(inputs: RunInputs, config: Dict, num_classes: int) -> MRGCN:
+def build_model(inputs: RunInputs, config: Dict, num_classes: int,
+                mesh=None) -> MRGCN:
     hidden_dims = hidden_dims_from_config(config, num_classes)
+    mesh = mesh if mesh is not None \
+        else getattr(inputs.edges, "mesh", None)
     return MRGCN(hidden_dims=hidden_dims,
                  modules_config=inputs.modules_config,
                  num_relations=inputs.num_relations,
@@ -70,8 +73,7 @@ def build_model(inputs: RunInputs, config: Dict, num_classes: int) -> MRGCN:
                  use_bias=config["model"]["bias"],
                  text_vocab_size=inputs.text_vocab_size,
                  text_pad_id=inputs.text_pad_id,
-                 under_mesh=getattr(inputs.edges, "mesh", None)
-                 is not None)
+                 under_mesh=mesh is not None, mesh=mesh)
 
 
 def _loss_and_metrics(logits, idx, targets, weights):
@@ -350,7 +352,7 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
         state = tutils.load_checkpoint(checkpoint)
         tutils.reconcile_text_attn(state["params"])
 
-    model = build_model(inputs, config, num_classes)
+    model = build_model(inputs, config, num_classes, mesh=mesh)
 
     rng = jax.random.PRNGKey(seed)
     rng, init_rng = jax.random.split(rng)

@@ -135,11 +135,13 @@ def test_artifact_survives_repeated_runs(nc_artifact):
     assert r1 == r2, f"artifact mutated between runs: {r1} vs {r2}"
 
 
-def _one_nc_step(art, config, mesh_spec):
+def _one_nc_step(art, config, mesh_spec, optimizer=None):
     """One full-batch NC train step through the driver's own assembly
     (prepare_inputs -> shard_inputs -> make_batches -> make_steps).
     Returns (loss, acc, params_after) — params_after captures the
-    gradients through the optimizer update."""
+    gradients through the optimizer update. Pass an SGD ``optimizer``
+    when comparing runs with bf16 modules: Adam turns near-zero-gradient
+    sign flips (bf16 reduction-order noise) into full ±lr steps."""
     import jax.numpy as jnp
 
     from mrgcn_tpu.parallel import mesh as pmesh
@@ -165,7 +167,8 @@ def _one_nc_step(art, config, mesh_spec):
     if mesh is not None:
         params = pmesh.shard_params(mesh, params)
     import optax
-    optimizer = optax.adam(0.01)
+    if optimizer is None:
+        optimizer = optax.adam(0.01)
     opt_state = optimizer.init(params)
     model = tutils.with_gate_skip(model, params)
     train_step, _, _, _ = make_steps(model, optimizer, config)
@@ -180,14 +183,24 @@ def _one_nc_step(art, config, mesh_spec):
     return float(loss), float(acc), jax.tree.map(np.asarray, params), b
 
 
-def _assert_params_close(p1, p8, tol=2e-4):
+def _assert_params_close(p1, p8, tol=2e-4, bf16_tol=None):
+    """``bf16_tol`` (when given) applies to the bf16-compute subtrees
+    (image CNN, text transformer body): their gradients carry bf16
+    reduction-order noise (~0.4% relative), so a handful of elements can
+    exceed the f32-grade tolerance without any semantic divergence."""
     leaves1 = jax.tree_util.tree_leaves_with_path(p1)
     leaves8 = jax.tree_util.tree_leaves(p8)
     assert len(leaves1) == len(leaves8)
     for (path, a), b in zip(leaves1, leaves8):
+        key = jax.tree_util.keystr(path)
+        t = tol
+        if bf16_tol is not None and (
+                "blob_image" in key or "xsd_string" in key
+                or "xsd_anyURI" in key):
+            t = bf16_tol
         np.testing.assert_allclose(
-            a, b, rtol=tol, atol=tol,
-            err_msg=f"param {jax.tree_util.keystr(path)} diverged")
+            a, b, rtol=t, atol=t,
+            err_msg=f"param {key} diverged")
 
 
 def test_nc_mesh_plans_on_step_parity(nc_artifact, monkeypatch):
@@ -284,3 +297,73 @@ def test_lp_mesh_minibatch_ranking_parity(lp_artifact, monkeypatch):
         agree = np.mean(np.asarray(ranks1[kind])
                         == np.asarray(ranks8[kind]))
         assert agree > 0.95, f"only {agree:.2%} of {kind} ranks agree"
+
+
+@pytest.fixture(scope="module")
+def mm_artifact(tmp_path_factory):
+    """Full-multimodal NC: all six encoder families (MLP1/MLP2/text/
+    TCNN-WKT/image) — the modalities round 4 never ran under a mesh."""
+    d = tmp_path_factory.mktemp("mm_mesh")
+    paths, config = synth.make_full_mm_nc(str(d), epochs=4)
+    config = apply_defaults(config)
+    A, F, Y, data, sample_map, class_map = build(config)
+    assert {"xsd.string", "ogc.wktLiteral", "blob.image"} <= set(F.keys())
+    path = str(d / "dataset.npz")
+    artifact_io.save(path, A, F, Y=Y, data=data, sample_map=sample_map,
+                     class_map=class_map)
+    return artifact_io.load(path), config
+
+
+@pytest.mark.parametrize("spec", ["8", "4x2"])
+def test_nc_mesh_full_multimodal_step_parity(mm_artifact, spec,
+                                             monkeypatch):
+    """VERDICT r4 item 1: string + image + WKT encoders under the mesh.
+    One driver-level train step (losses, accuracies AND updated params)
+    must match the single-device step at 1e-4."""
+    import optax
+    art, config = mm_artifact
+    monkeypatch.setenv("MRGCN_RESTRICT_OUT", "0")
+    sgd = lambda: optax.sgd(0.1)
+    loss1, acc1, p1, _ = _one_nc_step(art, config, None, optimizer=sgd())
+    loss8, acc8, p8, _ = _one_nc_step(art, config, spec, optimizer=sgd())
+    assert abs(loss1 - loss8) < 1e-4 * max(1.0, abs(loss1)), (loss1, loss8)
+    assert abs(acc1 - acc8) < 1e-6
+    _assert_params_close(p1, p8, bf16_tol=1e-3)
+
+
+def test_nc_mesh_multimodal_pallas_kernels_step_parity(mm_artifact,
+                                                       monkeypatch):
+    """The encoder Pallas kernels (fused attention core, fused MLP)
+    executing INSIDE shard_map over the mesh (interpret mode on CPU)
+    reproduce the single-device kernel step — validates the lifted
+    under_mesh gate end-to-end, params included."""
+    import optax
+    art, config = mm_artifact
+    monkeypatch.setenv("MRGCN_RESTRICT_OUT", "0")
+    monkeypatch.setenv("MRGCN_FORCE_PALLAS_GATHER", "1")
+    sgd = lambda: optax.sgd(0.1)
+    loss1, acc1, p1, _ = _one_nc_step(art, config, None, optimizer=sgd())
+    loss8, acc8, p8, _ = _one_nc_step(art, config, "4x2", optimizer=sgd())
+    assert abs(loss1 - loss8) < 1e-4 * max(1.0, abs(loss1)), (loss1, loss8)
+    assert abs(acc1 - acc8) < 1e-6
+    _assert_params_close(p1, p8, bf16_tol=1e-3)
+
+
+def test_nc_mesh_full_multimodal_training_parity(mm_artifact, monkeypatch):
+    """Multi-epoch driver run, mesh vs single device, full modality
+    surface (slow-tier companion of the step-parity pins)."""
+    art, config = mm_artifact
+    config = copy.deepcopy(config)
+    config["model"]["epoch"] = 4
+    monkeypatch.setenv("MRGCN_GATHER_PLAN", "0")
+
+    tsv = TSV("/dev/null", "w", dry_run=True)
+    _, _, loss1, acc1, _, _ = node_classification.run(
+        art, config, tsv, featureless=False, test_split="test",
+        checkpoint=None, seed=3)
+    tsv = TSV("/dev/null", "w", dry_run=True)
+    _, _, loss8, acc8, _, _ = node_classification.run(
+        art, _with_mesh(config, "4x2"), tsv, featureless=False,
+        test_split="test", checkpoint=None, seed=3)
+    assert abs(loss1 - loss8) < 5e-3, (loss1, loss8)
+    assert abs(acc1 - acc8) < 1e-6, (acc1, acc8)

@@ -32,7 +32,8 @@ def main(argv=None) -> int:
     parser.add_argument("-c", "--config", required=True,
                         help="Configuration file (toml)")
     parser.add_argument("-i", "--input", required=True,
-                        help="Prepared input file (npz artifact)")
+                        help="Prepared input file (npz artifact, or a "
+                             "reference-produced .tar dataset)")
     parser.add_argument("-o", "--output", default="/tmp/",
                         help="Output directory")
     parser.add_argument("-v", "--verbose", action="count", default=0,
@@ -76,7 +77,12 @@ def main(argv=None) -> int:
 
     assert is_readable(args.input)
     logging.debug("Importing artifact")
-    artifact = artifact_io.load(args.input)
+    if args.input.endswith(".tar"):
+        # reference-produced dataset (mkdataset.py of wxwilcke/mrgcn)
+        from mrgcn_tpu.data.reference_tar import artifact_from_reference_tar
+        artifact = artifact_from_reference_tar(args.input)
+    else:
+        artifact = artifact_io.load(args.input)
 
     from mrgcn_tpu.utils.profiling import profile_session
 

@@ -350,7 +350,8 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
     state = None
     if checkpoint is not None:
         state = tutils.load_checkpoint(checkpoint)
-        tutils.reconcile_text_attn(state["params"])
+        if state.get("format") != "torch":
+            tutils.reconcile_text_attn(state["params"])
 
     model = build_model(inputs, config, num_classes, mesh=mesh)
 
@@ -369,9 +370,20 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
     epoch = 0
     if state is not None:
         print("[LOAD] Loading model state", end="")
-        params = jax.tree.map(jnp.asarray, state["params"])
-        opt_state = tutils.restore_opt_state(opt_state, state["opt_state"])
-        batch_stats = jax.tree.map(jnp.asarray, state["batch_stats"])
+        if state.get("format") == "torch":
+            # reference-trained checkpoint: map the torch state dict onto
+            # the initialised tree (tasks/torch_import); optimizer state
+            # re-warms from scratch
+            from mrgcn_tpu.tasks import torch_import
+            p, bs, _ = torch_import.map_state_dict(
+                state["model_state_dict"], model, params, batch_stats)
+            params = jax.tree.map(jnp.asarray, p)
+            batch_stats = jax.tree.map(jnp.asarray, bs)
+        else:
+            params = jax.tree.map(jnp.asarray, state["params"])
+            opt_state = tutils.restore_opt_state(opt_state,
+                                                 state["opt_state"])
+            batch_stats = jax.tree.map(jnp.asarray, state["batch_stats"])
         epoch = state["epoch"]
         print(f" - {epoch} epoch")
 

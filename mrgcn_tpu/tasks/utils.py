@@ -266,7 +266,13 @@ def load_checkpoint(path: str) -> Dict:
     """
     with open(path, "rb") as f:
         magic = f.read(2)
-    if magic == b"PK":  # zip container: npz
+    if magic == b"PK":  # zip container: npz or a reference torch.save
+        from mrgcn_tpu.tasks import torch_import
+        if torch_import.is_torch_checkpoint(path):
+            logger.info("%s is a reference torch checkpoint; importing "
+                        "via tasks/torch_import (optimizer state is "
+                        "re-initialised)", path)
+            return torch_import.load_torch_checkpoint(path)
         npz = np.load(path, allow_pickle=False)
         return {
             "epoch": int(npz["meta/epoch"]),

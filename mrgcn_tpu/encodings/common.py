@@ -26,12 +26,47 @@ logger = logging.getLogger(__name__)
 EncodingSet = List  # [enc, node_idx, seq_lengths]
 
 
+class IndexedNodesMap(dict):
+    """``nodes_map`` plus a one-pass literal index (datatype IRI ->
+    ``[(literal, node_index)]`` in node-index order; untyped literals
+    under key ``None``). Each vectorizer used to re-scan the whole
+    nodes_map (5+ full scans per build); with the index each selector
+    reads exactly its buckets. Built by ``construct_features``; plain
+    dicts still work everywhere (the selectors fall back to scanning)."""
+
+    __slots__ = ("literal_index",)
+
+    @classmethod
+    def build(cls, nodes_map: Dict) -> "IndexedNodesMap":
+        self = cls(nodes_map)
+        index: Dict[Optional[str], List] = {}
+        for node, i in nodes_map.items():
+            if isinstance(node, Literal):
+                index.setdefault(node.datatype, []).append((node, i))
+        self.literal_index = index
+        return self
+
+
+def _merged_buckets(buckets) -> Iterator[Tuple[Literal, int]]:
+    """Merge per-datatype buckets back into node-index order — the order
+    the full-scan selectors yield (row order inside encoding sets stays
+    identical either way)."""
+    import heapq
+    return heapq.merge(*buckets, key=lambda pair: pair[1])
+
+
 def literal_nodes(nodes_map: Dict, datatypes) -> Iterator[Tuple[Literal, int]]:
     """Yield ``(literal, node_index)`` for literals whose datatype is in
     ``datatypes`` (a str or set of str IRIs)
     (reference: e.g. xsd/numeric.py:165-173)."""
     if isinstance(datatypes, str):
         datatypes = {datatypes}
+    index = getattr(nodes_map, "literal_index", None)
+    if index is not None:
+        buckets = [index[dt] for dt in datatypes if dt in index]
+        yield from (buckets[0] if len(buckets) == 1
+                    else _merged_buckets(buckets))
+        return
     for node, i in nodes_map.items():
         if not isinstance(node, Literal):
             continue
@@ -45,6 +80,13 @@ def plain_string_nodes(nodes_map: Dict, string_datatype: str
     """String-literal selector: matches ``xsd:string``-typed literals *and*
     untyped literals carrying a language tag
     (reference: xsd/string.py:102-110)."""
+    index = getattr(nodes_map, "literal_index", None)
+    if index is not None:
+        tagged = [pair for pair in index.get(None, ())
+                  if pair[0].language is not None]
+        yield from _merged_buckets([index.get(string_datatype, ()),
+                                    tagged])
+        return
     for node, i in nodes_map.items():
         if not isinstance(node, Literal):
             continue

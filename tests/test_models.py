@@ -136,6 +136,7 @@ def test_module_names_match_reference_scheme():
                      "ogc_wktLiteral_0", "blob_image_0")
 
 
+@pytest.mark.slow  # tiering: exhaustive pin, covered faster elsewhere in the quick loop
 def test_mrgcn_multimodal_forward_and_gradients():
     """Forward shape/gates plus gradient flow to every encoder — one test
     so the expensive 5-encoder init+compile happens once (it dominated the
@@ -192,6 +193,7 @@ def test_mrgcn_jit_compiles_once():
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
 
 
+@pytest.mark.slow  # tiering: exhaustive pin, covered faster elsewhere in the quick loop
 def test_gate_zero_encoder_skip():
     """A zero-gated encoder is compiled out (smaller program) yet outputs
     stay identical (reference: mrgcn.py:263-268)."""
@@ -270,6 +272,7 @@ def test_text_encoder_key_only_mask_matches_full_mask():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # tiering: exhaustive pin, covered faster elsewhere in the quick loop
 def test_text_encoder_one_hot_embed_matches_gather():
     """embed_impl='one_hot' (embedding matmul) and 'gather' (table lookup)
     are the same math; both directions must agree bitwise-closely in f32."""
@@ -372,6 +375,7 @@ def test_text_encoder_plain_fused_matches_plain():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # tiering: exhaustive pin, covered faster elsewhere in the quick loop
 def test_image_cnn_dense_blocks():
     """block_impl='dense' trains: forward shape, finite grads, param tree
     differs from the separable default (plain 3x3 convs, no depthwise)."""

@@ -8,6 +8,14 @@
   exercises ``load_text_backbone`` + ``PretrainedTextEncoder`` end to end.
 """
 
+
+import pytest as _pytest
+
+# tiering: exhaustive engine/backbone pins run in the slow tier;
+# the quick edit-test loop keeps driver-level coverage of the
+# same paths (test_mesh_training quick subset, test_models)
+pytestmark = _pytest.mark.slow
+
 import numpy as np
 import pytest
 

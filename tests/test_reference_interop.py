@@ -105,6 +105,7 @@ def test_reference_tar_features_and_labels_match_ours(nc_pair):
         assert sorted(theirs.sample_map[split]) == sorted(samples)
 
 
+@pytest.mark.slow  # tiering: training round trip; structural round trips stay quick
 def test_reference_tar_trains_like_npz_artifact(nc_pair):
     """The VERDICT round trip: train on the reference tarball, train on
     our npz artifact — identical seeds must give identical metrics."""

@@ -111,6 +111,7 @@ def test_dense_fwd_and_grad(in_dim, out_dim):
 
 @pytest.mark.parametrize("interpret,out_dim", [(False, 16), (False, 200),
                                                (True, 16)])
+@pytest.mark.slow  # tiering: interpret-mode/variant sweep, slow tier
 def test_featureless_composed_fused_bwd(monkeypatch, interpret, out_dim):
     """featureless_composed (single-pass d_comp/d_packed backward) matches
     the unfused compose_packed -> featureless_aggregate chain, forward and
@@ -211,6 +212,7 @@ def test_featureless_basis_fwd_and_grad(monkeypatch, out_dim, interpret):
 
 @pytest.mark.parametrize("out_dim,interpret", [(16, False), (200, False),
                                                (16, True)])
+@pytest.mark.slow  # tiering: interpret-mode/variant sweep, slow tier
 def test_featureless_basis_wide_parity(monkeypatch, out_dim, interpret):
     """featureless_basis_wide (combined (rows, B*L) table, one wide line
     per edge) matches featureless_basis, forward and gradients, on the
@@ -253,9 +255,11 @@ def test_featureless_basis_wide_parity(monkeypatch, out_dim, interpret):
                                    rtol=3e-4, atol=3e-4)
 
 
-@pytest.mark.parametrize("in_dim,out_dim,interpret",
-                         [(200, 200, False), (70, 200, False),
-                          (136, 40, True)])
+@pytest.mark.parametrize(
+    "in_dim,out_dim,interpret",
+    [(200, 200, False), (70, 200, False),
+     # tiering: the interpret-mode kernel sweep runs in the slow tier
+     pytest.param(136, 40, True, marks=pytest.mark.slow)])
 def test_dense_basis_fwd_and_grad(monkeypatch, in_dim, out_dim, interpret):
     """dense_basis (stream-engine dense layer through the (n, B*out)
     per-basis projections) matches the dense oracle with composed weights,
@@ -344,6 +348,7 @@ def test_dense_basis_hybrid_fwd_and_grad():
                                    rtol=3e-4, atol=3e-3)
 
 
+@pytest.mark.slow  # tiering: interpret-mode/variant sweep, slow tier
 def test_rgcn_model_dense_basis_flag_parity(monkeypatch):
     """MRGCN_DENSE_BASIS=1 routes wide non-rel_const basis layers through
     dense_basis — model loss and grads must match the relation-grouped
@@ -396,6 +401,7 @@ def test_rgcn_model_dense_basis_flag_parity(monkeypatch):
                                        err_msg=f"mode {mode}")
 
 
+@pytest.mark.slow  # tiering: interpret-mode/variant sweep, slow tier
 def test_pallas_interpret_parity(monkeypatch):
     """The Pallas scatter/gather kernels (interpret mode) reproduce the XLA
     fallback bit-for-bit paths within f32 matmul tolerance."""
@@ -490,6 +496,7 @@ def test_rgcn_model_fused_compose_flag_parity(monkeypatch):
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow  # tiering: interpret-mode/variant sweep, slow tier
 def test_rgcn_model_basis_path_parity(monkeypatch):
     """With the composed-table budget forced to zero, the model routes the
     featureless input layer through featureless_basis (``:idb`` plans) —
@@ -567,6 +574,7 @@ def test_rgcn_model_planned_parity():
 
 
 @pytest.mark.parametrize("interpret", [False, True])
+@pytest.mark.slow  # tiering: interpret-mode/variant sweep, slow tier
 def test_featureless_basis_fused_bwd_parity(monkeypatch, interpret):
     """MRGCN_FUSED_BASIS_BWD=1 (one fused scatter+dot pass per basis for
     d_packed/d_comp) matches the two-pass default, gradients exactly —

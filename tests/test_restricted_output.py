@@ -55,6 +55,7 @@ def _full_block(src, dst, rel, norm, n, hidden, C):
                      group_size=grouping.group_size)
 
 
+@pytest.mark.slow  # tiering: op-level pin; the driver-level parity test stays quick
 def test_restricted_output_loss_and_grad_parity():
     n, R, hidden, C = 200, 5, 8, 4
     src, dst, rel, norm = _graph(n=n, R=R)

@@ -7,6 +7,14 @@ single-device results, forward and backward, on the virtual 8-device CPU
 mesh.
 """
 
+
+import pytest as _pytest
+
+# tiering: exhaustive engine/backbone pins run in the slow tier;
+# the quick edit-test loop keeps driver-level coverage of the
+# same paths (test_mesh_training quick subset, test_models)
+pytestmark = _pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

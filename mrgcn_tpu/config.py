@@ -34,6 +34,10 @@ _TASK_DEFAULTS = {
     "test_batchsize": -1,
     "mrr_batchsize": -1,
     "eval_interval": 10,
+    "neighbor_fanout": -1,        # cap per-node hop expansion in mini-batch
+                                  # NC (int or per-hop list; <=0 = full) —
+                                  # TPU-scale extension, no reference analogue
+    "neighbor_fanout_rounds": 1,  # independent resamples cycled over epochs
     "filter_ranks": True,
     "target_property": "",
     "target_property_inv": "",

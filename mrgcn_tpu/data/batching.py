@@ -105,6 +105,52 @@ class EdgeIndex:
             raise ValueError("frontier node id out of range")
         return eids[:n_eids], neigh[:int(n_neigh[0])].copy()
 
+    def hop_sampled(self, nodes: np.ndarray, fanout: int,
+                    rng: np.random.Generator):
+        """One BFS hop with at most ``fanout`` out-edges kept per frontier
+        node (uniform, without replacement).
+
+        New TPU-scale capability beyond the reference (which always expands
+        every edge, reference: batch.py:185-197): bounding the per-hop
+        fan-out bounds the sampled subgraph — and with it the padded batch
+        shapes and HBM footprint — regardless of graph size, GraphSAGE-style.
+
+        Returns ``(eids, neighbours, scale)`` where ``scale[i]`` is the
+        importance weight ``deg(src_i) / kept(src_i)`` making the sampled
+        aggregation an unbiased estimator of the full one: each out-edge of
+        a node with degree ``d > fanout`` is kept with probability
+        ``fanout/d``, so re-scaling its norm by ``d/fanout`` preserves
+        ``E[sum] = full sum`` in ``out[src] += norm * (H[dst] @ W[rel])``.
+        """
+        nodes64 = np.asarray(nodes, dtype=np.int64)
+        starts = self.indptr[nodes64]
+        counts = self.indptr[nodes64 + 1] - starts
+        total = int(counts.sum())
+        if total == 0:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty(0, dtype=np.int32),
+                    np.empty(0, dtype=np.float32))
+        span_starts = np.cumsum(counts) - counts
+        offsets = np.arange(total, dtype=np.int64) - np.repeat(span_starts,
+                                                               counts)
+        eids = np.repeat(starts, counts) + offsets
+        if int(counts.max()) <= fanout:
+            # nothing to drop — identical to the full hop
+            return (eids, np.unique(self.dst[eids]).astype(np.int32),
+                    np.ones(total, dtype=np.float32))
+        # shuffle within each node's span: stable lexsort by (segment,
+        # random key) keeps segments contiguous, so "rank within span <
+        # fanout" selects a uniform without-replacement sample per node
+        seg = np.repeat(np.arange(len(nodes64)), counts)
+        order = np.lexsort((rng.random(total), seg))
+        keep = offsets < fanout            # rank within span, post-shuffle
+        sel = order[keep]
+        kept = np.minimum(counts, fanout)
+        scale = (counts / kept).astype(np.float32)
+        return (eids[sel],
+                np.unique(self.dst[eids[sel]]).astype(np.int32),
+                scale[seg[sel]])
+
 
 @dataclass
 class MiniBatch:
@@ -116,20 +162,53 @@ class MiniBatch:
     num_batch: int                       # un-padded batch node count
 
 
+def normalize_fanout(fanout, num_layers: int) -> Optional[List[Optional[int]]]:
+    """Per-hop fan-out caps from a config value: a positive int applies to
+    every hop, a sequence gives hop-by-hop caps (hop 0 = the batch nodes'
+    immediate neighbourhood), non-positive entries mean full expansion.
+    Returns ``None`` when nothing is capped."""
+    if fanout is None:
+        return None
+    if isinstance(fanout, (int, np.integer)):
+        fanout = [int(fanout)] * num_layers
+    fanout = [int(f) if int(f) > 0 else None for f in fanout]
+    if len(fanout) != num_layers:
+        raise ValueError(
+            f"neighbor_fanout has {len(fanout)} entries for "
+            f"{num_layers} layers")
+    return fanout if any(f is not None for f in fanout) else None
+
+
 def sample_minibatch(index: EdgeIndex, batch_nodes: np.ndarray,
                      num_layers: int,
                      edge_bucket: int = 256,
-                     node_bucket: int = 64) -> MiniBatch:
+                     node_bucket: int = 64,
+                     fanout=None,
+                     rng: Optional[np.random.Generator] = None) -> MiniBatch:
     """BFS-expand ``batch_nodes`` for ``num_layers`` hops
-    (reference: batch.py:185-197)."""
+    (reference: batch.py:185-197).
+
+    ``fanout`` (int or per-hop sequence, see :func:`normalize_fanout`) caps
+    each frontier node's expansion via :meth:`EdgeIndex.hop_sampled`; the
+    kept edges' norms are importance-rescaled so the sampled aggregation is
+    an unbiased estimator of the full one."""
     batch_nodes = np.asarray(batch_nodes, dtype=np.int32)
+    fanouts = normalize_fanout(fanout, num_layers) or [None] * num_layers
+    if any(f is not None for f in fanouts) and rng is None:
+        rng = np.random.default_rng(0)
 
     hop_nodes: List[np.ndarray] = [batch_nodes]     # S_0 .. S_L
     hop_edges: List[np.ndarray] = []                # E_0 .. E_{L-1}
+    hop_scales: List[Optional[np.ndarray]] = []
     sample = batch_nodes
-    for _ in range(num_layers):
-        eids, neighbours = index.hop(sample)        # sorted global ids
+    for cap in fanouts:
+        if cap is not None:
+            eids, neighbours, scale = index.hop_sampled(sample, cap, rng)
+        else:
+            eids, neighbours = index.hop(sample)    # sorted global ids
+            scale = None
         hop_edges.append(eids)
+        hop_scales.append(scale)
         hop_nodes.append(neighbours.astype(np.int32))
         sample = neighbours
 
@@ -144,6 +223,8 @@ def sample_minibatch(index: EdgeIndex, batch_nodes: np.ndarray,
         dst_local = _local_ids(index.dst[eids], in_nodes)
         dst_global = index.dst[eids].astype(np.int32)
         norm = index.norm[eids]
+        if hop_scales[hop] is not None:
+            norm = norm * hop_scales[hop]
         rel = index.rel[eids]
 
         E = bucket(len(eids), edge_bucket)

@@ -261,6 +261,14 @@ def group_by_relation(src: np.ndarray, dst: np.ndarray, rel: np.ndarray,
     the mini-batch sampler passes 64 instead because at hop scale the
     matmul time is sub-millisecond either way and 64 halves the padding.
     """
+    if len(src) == 0:
+        # an empty hop (e.g. a neighbour-sampled frontier of leaves) keeps
+        # degenerate-but-valid shapes; callers bucket the group count up
+        return RelationGrouping(
+            src=np.empty(0, dtype=np.int32), dst=np.empty(0, dtype=np.int32),
+            norm=np.empty(0, dtype=np.float32),
+            group_rel=np.empty(0, dtype=np.int32), group_size=group_size)
+
     order = np.argsort(rel, kind="stable")
     src, dst, rel, norm = src[order], dst[order], rel[order], norm[order]
 

@@ -114,10 +114,17 @@ def _pad_labels(idx, targets, bucket_min: int = 64):
 
 
 def make_batches(inputs: RunInputs, label_rows: np.ndarray, batchsize: int,
-                 num_layers: int) -> List[NCBatch]:
+                 num_layers: int, fanout=None,
+                 rng: Optional[np.random.Generator] = None) -> List[NCBatch]:
     """Full batch when ``batchsize <= 0`` or everything fits one slice;
     otherwise L-hop BFS mini-batches built once and reused every epoch
-    (reference: node_classification.py:127-143, 329-351)."""
+    (reference: node_classification.py:127-143, 329-351).
+
+    ``fanout`` (``[task] neighbor_fanout``) caps each hop's per-node
+    expansion with importance-rescaled norms (batching.hop_sampled) — a
+    TPU-scale capability beyond the reference: batch shapes and HBM
+    footprint stay bounded on graphs whose full L-hop neighbourhoods
+    wouldn't fit."""
     num_samples = label_rows.shape[0]
     if batchsize <= 0 or batchsize >= num_samples:
         import os
@@ -162,7 +169,8 @@ def make_batches(inputs: RunInputs, label_rows: np.ndarray, batchsize: int,
         # sample its neighbourhood once and point every label row at the
         # same local output row
         uniq_nodes, inverse = np.unique(rows[:, 0], return_inverse=True)
-        mb = batching.sample_minibatch(index, uniq_nodes, num_layers)
+        mb = batching.sample_minibatch(index, uniq_nodes, num_layers,
+                                       fanout=fanout, rng=rng)
         feats = batching.subset_features(inputs.features, mb.outer_nodes,
                                          num_rows=mb.layer_edges[0].num_in)
         idx, targets, weights = _pad_labels(
@@ -399,9 +407,32 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
     early_stop = tutils.EarlyStop(patience, tolerance) \
         if patience > 0 else None
 
+    # neighbour-sampled training (TPU-scale extension; the reference always
+    # expands full L-hop neighbourhoods): [task] neighbor_fanout caps each
+    # hop's per-node expansion with importance-rescaled norms, bounding
+    # batch shapes / HBM on graphs beyond full-expansion reach;
+    # neighbor_fanout_rounds R > 1 pre-builds R independent samples and
+    # cycles them across epochs (GraphSAGE-style variance reduction with
+    # static shapes — bucket sizes repeat, so programs are reused)
+    from mrgcn_tpu.data import batching as _batching
+    fanout_cfg = config["task"].get("neighbor_fanout")
+    fanout = None
+    if batchsize > 0 and Y_train.shape[0] > batchsize:
+        fanout = _batching.normalize_fanout(fanout_cfg, num_layers)
+    elif fanout_cfg not in (None, -1):
+        logger.warning("neighbor_fanout is ignored in full-batch mode "
+                       "(set [task] batchsize > 0 to enable sampling)")
+    rounds = max(1, int(config["task"].get("neighbor_fanout_rounds", 1))) \
+        if fanout is not None else 1
+    sample_rng = np.random.default_rng(seed)
+
     # batches are built once and reused every epoch
-    # (reference: node_classification.py:127-143)
-    train_batches = make_batches(inputs, Y_train, batchsize, num_layers)
+    # (reference: node_classification.py:127-143); evaluation batches always
+    # expand fully — metrics stay exact, sampling is a training estimator
+    train_rounds = [make_batches(inputs, Y_train, batchsize, num_layers,
+                                 fanout=fanout, rng=sample_rng)
+                    for _ in range(rounds)]
+    train_batches = train_rounds[0]
     valid_batches = make_batches(inputs, Y_valid, batchsize, num_layers) \
         if Y_valid is not None else []
 
@@ -411,7 +442,9 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
     import os as _os
     use_scan = (_os.environ.get("MRGCN_SCAN_BATCHES", "1") != "0"
                 and len(train_batches) > 1)
-    train_groups = group_batches(train_batches) if use_scan else None
+    train_group_rounds = [group_batches(b) if use_scan else None
+                          for b in train_rounds]
+    train_groups = train_group_rounds[0]
     valid_groups = group_batches(valid_batches) \
         if use_scan and len(valid_batches) > 1 else None
 
@@ -429,6 +462,10 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
                     jnp.asarray, early_stop.best_state)
             break
         final_epoch = ep
+        if rounds > 1:
+            ri = (ep - 1) % rounds
+            train_batches = train_rounds[ri]
+            train_groups = train_group_rounds[ri]
 
         losses, accs = [], []
         if train_groups is not None:

@@ -38,6 +38,14 @@ _TASK_DEFAULTS = {
                                   # NC (int or per-hop list; <=0 = full) —
                                   # TPU-scale extension, no reference analogue
     "neighbor_fanout_rounds": 1,  # independent resamples cycled over epochs
+    "negative_sampling_ratio": 0.2,   # LP: corrupted fraction of each
+                                      # batch's real triples (the reference
+                                      # hardcodes 1/5, lp.py:246-268; the
+                                      # default is bit-identical to it)
+    "negative_adversarial_temperature": 0.0,  # LP: > 0 weights negatives by
+                                      # softmax(alpha * score) (RotatE-style
+                                      # self-adversarial, stop-gradient);
+                                      # 0 = reference-uniform
     "filter_ranks": True,
     "target_property": "",
     "target_property_inv": "",

@@ -223,24 +223,46 @@ def sample_negatives(rng: np.random.Generator,
     return triples, labels
 
 
-def make_steps(model: MRGCN, optimizer, config: Dict):
-    l1 = config["model"]["l1_lambda"]
-    l2 = config["model"]["l2_lambda"]
+def make_corruptor(neg_ratio: float = 0.2):
+    """Build the in-jit corruption function for a negative-sampling ratio.
+
+    Negative-sample scheduling (TPU-scale extension; the reference
+    hardcodes 1/5 uniform, lp.py:246-268): the corrupted fraction is a
+    config knob (``[task] negative_sampling_ratio``). The ratio is
+    quantized to 1/1000 so corrupted counts are exact integer math on
+    traced int32 (``floor(n * 200 / 1000) == n // 5`` at the default —
+    float floors drift at FB15k-scale counts); products stay < 2^31 for
+    any plausible batch * ratio.
+    """
+    if neg_ratio < 0:
+        raise ValueError("negative_sampling_ratio must be >= 0")
+    neg_num = int(round(neg_ratio * 1000))
 
     def _corrupt(data, num_triples, pool, num_pool, rng):
         """In-jit within-batch corruption over bucket-padded arrays —
-        semantics of :func:`sample_negatives` (reference: lp.py:246-268):
-        20% of the REAL triples, distinct rows, half heads / half tails,
-        replacements drawn uniformly from the REAL pool entries. Padding
-        rows carry weight 0."""
+        semantics of :func:`sample_negatives` (reference: lp.py:246-268)
+        at the default ratio 0.2: ``floor(ratio * num_triples)`` of the
+        REAL triples (distinct rows while ratio <= 1, uniform with
+        replacement above), half heads / half tails, replacements drawn
+        uniformly from the REAL pool entries. Padding rows carry weight
+        0. Corruption-slot counts are static (derived from the padded
+        M), so bucket shapes keep repeating across batches."""
         M = data.shape[0]
-        ncp = M // 5                    # padded corruption slots (static)
+        # padded corruption slots (static); (M * 200) // 1000 == M // 5 at
+        # the default ratio, matching the reference exactly
+        ncp = (M * neg_num) // 1000
         nc_head = ncp // 2
         k1, k2, k3 = jax.random.split(rng, 3)
-        # distinct real rows first: random key, padding pushed to the back
-        key = jax.random.uniform(k1, (M,)) \
-            + (jnp.arange(M) >= num_triples) * 10.0
-        pick = jnp.argsort(key)[:ncp]
+        if ncp <= M:
+            # distinct real rows first: random key, padding pushed back
+            key = jax.random.uniform(k1, (M,)) \
+                + (jnp.arange(M) >= num_triples) * 10.0
+            pick = jnp.argsort(key)[:ncp]
+        else:
+            # ratio > 1: more negatives than rows — sample real rows
+            # uniformly with replacement
+            pick = jax.random.randint(k1, (ncp,), 0,
+                                      jnp.maximum(num_triples, 1))
         corrupted = data[pick]
         heads = pool[jax.random.randint(k2, (nc_head,), 0, num_pool)]
         tails = pool[jax.random.randint(k3, (ncp - nc_head,), 0,
@@ -249,7 +271,7 @@ def make_steps(model: MRGCN, optimizer, config: Dict):
         corrupted = corrupted.at[nc_head:, 2].set(tails)
         triples = jnp.concatenate([data, corrupted], axis=0)
 
-        n_real = num_triples // 5
+        n_real = jnp.minimum((num_triples * neg_num) // 1000, ncp)
         n_real_head = n_real // 2
         w_pos = (jnp.arange(M) < num_triples)
         w_head = jnp.arange(nc_head) < n_real_head
@@ -259,6 +281,19 @@ def make_steps(model: MRGCN, optimizer, config: Dict):
         weights = jnp.concatenate([w_pos, w_head, w_tail]) \
             .astype(jnp.float32)
         return triples, labels, weights
+
+    return _corrupt
+
+
+def make_steps(model: MRGCN, optimizer, config: Dict):
+    l1 = config["model"]["l1_lambda"]
+    l2 = config["model"]["l2_lambda"]
+    # negative-sample scheduling knobs; defaults (ratio 0.2, temperature 0)
+    # are bit-identical to the reference's hardcoded semantics
+    _corrupt = make_corruptor(
+        float(config["task"].get("negative_sampling_ratio", 0.2)))
+    adv_alpha = float(config["task"].get(
+        "negative_adversarial_temperature", 0.0))
 
     def _update(params, batch_stats, opt_state, features, edges, data,
                 pool, num_triples, num_pool, rng):
@@ -275,7 +310,23 @@ def make_steps(model: MRGCN, optimizer, config: Dict):
             y_hat = distmult.score(triples[:, 0], triples[:, 1],
                                    triples[:, 2], out, relations)
             bce = optax.sigmoid_binary_cross_entropy(y_hat, labels)
-            loss = jnp.sum(bce * weights) / jnp.maximum(
+            if adv_alpha > 0.0:
+                # self-adversarial negative weighting (RotatE, Sun et al.
+                # 2019 — no reference analogue): negatives reweighted by
+                # softmax(alpha * score) under stop-gradient, mass
+                # renormalised to the real negative count so the
+                # positive:negative balance (and sum(weights), hence the
+                # loss scale) matches the uniform default exactly.
+                neg = labels == 0.0
+                logits = jnp.where(neg & (weights > 0),
+                                   adv_alpha * jax.lax.stop_gradient(y_hat),
+                                   -jnp.inf)
+                n_neg = jnp.sum(weights * neg)
+                p_adv = jnp.where(n_neg > 0, jax.nn.softmax(logits), 0.0)
+                w_eff = jnp.where(neg, p_adv * n_neg, weights)
+            else:
+                w_eff = weights
+            loss = jnp.sum(bce * w_eff) / jnp.maximum(
                 jnp.sum(weights), 1.0)
             loss = loss + tutils.regularization(p, l1, l2)
             return loss, updates.get("batch_stats", batch_stats)

@@ -146,7 +146,9 @@ class EdgeIndex:
         keep = offsets < fanout            # rank within span, post-shuffle
         sel = order[keep]
         kept = np.minimum(counts, fanout)
-        scale = (counts / kept).astype(np.float32)
+        # zero-degree frontier nodes contribute no edges; guard the 0/0
+        # (their scale entry is never indexed via seg[sel])
+        scale = (counts / np.maximum(kept, 1)).astype(np.float32)
         return (eids[sel],
                 np.unique(self.dst[eids[sel]]).astype(np.int32),
                 scale[seg[sel]])

@@ -81,6 +81,21 @@ def test_fanout_no_drop_identity():
         np.testing.assert_array_equal(a.grp_norm, b.grp_norm)
 
 
+def test_fanout_zero_degree_frontier():
+    """A zero-out-degree frontier node alongside a capped hub: no warning,
+    no nan/inf scales (regression — 0/0 in the importance rescale)."""
+    structure = _star_plus_chain(hub_degree=12)
+    index = batching.EdgeIndex(structure)
+    # node 3 ends the chain: no out-edges; hub 0 exceeds the cap
+    nodes = np.asarray([0, 3], dtype=np.int32)
+    with np.errstate(all="raise"):
+        eids, neigh, scale = index.hop_sampled(
+            nodes, fanout=4, rng=np.random.default_rng(3))
+    assert len(eids) == 4
+    assert np.all(np.isfinite(scale))
+    np.testing.assert_allclose(scale, np.full(4, 3.0))   # deg 12 / kept 4
+
+
 def test_fanout_unbiased_estimator():
     """E[sum of rescaled norms per (src, dst)] == full per-edge norm: every
     out-edge of a degree-d node is kept w.p. k/d and rescaled by d/k."""

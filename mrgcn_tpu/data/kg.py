@@ -31,14 +31,16 @@ def _format_of(path: str) -> str:
         return "nquads"   # graph labels parsed and ignored
     if ext in ("ttl", "turtle", "n3"):
         return "turtle"
+    if ext == "trig":
+        return "trig"     # graph labels parsed and ignored
     if ext in ("rdf", "rdfs", "owl", "xml"):
         return "rdfxml"
     raise ValueError(
         f"Unsupported RDF serialisation {'.' + ext if ext else path!r}: "
         f"{path}. Supported: N-Triples (.nt[.gz]), N-Quads (.nq[.gz]), "
-        f"Turtle (.ttl/.n3[.gz]) and RDF/XML (.rdf/.rdfs/.owl/.xml[.gz]). "
-        f"Convert other serialisations (TriG, JSON-LD, ...) to N-Triples "
-        f"first, e.g. with `rapper` or rdflib.")
+        f"Turtle (.ttl/.n3[.gz]), TriG (.trig[.gz]) and RDF/XML "
+        f"(.rdf/.rdfs/.owl/.xml[.gz]). Convert other serialisations "
+        f"(JSON-LD, ...) to N-Triples first, e.g. with `rapper` or rdflib.")
 
 
 def _read_path(path: str):
@@ -47,9 +49,9 @@ def _read_path(path: str):
     the in-tree parser. Fails loudly when a non-empty file parses to zero
     triples — a silent empty graph poisons everything downstream."""
     fmt = _format_of(path)
-    if fmt == "turtle":
+    if fmt in ("turtle", "trig"):
         from mrgcn_tpu.data import turtle
-        return turtle.parse_file(path)
+        return turtle.parse_file(path, trig=(fmt == "trig"))
     if fmt == "rdfxml":
         # resolve relative rdf:about/resource/ID against the document URI,
         # as rdflib does (reference: data/io/knowledge_graph.py:45-56) —

@@ -1,4 +1,4 @@
-"""Streaming-friendly Turtle (TTL) parser.
+"""Streaming-friendly Turtle (TTL) and TriG parser.
 
 The reference accepts any rdflib-supported RDF serialisation, gzipped or not
 (reference: mrgcn/data/io/knowledge_graph.py:45-56). mrgcn_tpu implements
@@ -17,7 +17,10 @@ Supported grammar (the subset real-world datasets use):
   expanded to rdf:first/rest/nil chains;
 * literals: short/long single/double-quoted strings with escapes, language
   tags, ``^^`` datatypes, and the numeric / boolean shorthands typed as
-  xsd:integer / xsd:decimal / xsd:double / xsd:boolean.
+  xsd:integer / xsd:decimal / xsd:double / xsd:boolean;
+* TriG (``trig=True``): named graph blocks ``{...}``, ``GRAPH label {...}``
+  and ``label {...}`` — graph labels parsed and IGNORED (every statement
+  lands in one graph), the same posture as the N-Quads reader.
 
 Parse errors raise :class:`TurtleError` with the line number — ingestion is
 fail-loud (a format mistake must not silently produce an empty graph).
@@ -60,10 +63,10 @@ _TOKEN_RE = re.compile(r"""
   | (?P<dtype>\^\^)
   | (?P<number>[+-]?(?:(?:\d+\.\d*|\.\d+|\d+)[eE][+-]?\d+
                      |\d+\.\d+|\.\d+|\d+))
-  | (?P<bnode>_:[^\s;,.\])]+)
-  | (?P<punct>[;,.\[\]()])
-  | (?P<pname>(?:[^\s;,"'<>\[\]()#^@]|%[0-9A-Fa-f]{2}|\\[-_~.!$&'()*+,;=/?\#@%])*
-              :(?:[^\s;,"'<>\[\]()^#@]|%[0-9A-Fa-f]{2}|\\[-_~.!$&'()*+,;=/?\#@%])*)
+  | (?P<bnode>_:[^\s;,.\])}]+)
+  | (?P<punct>[;,.\[\](){}])
+  | (?P<pname>(?:[^\s;,"'<>\[\](){}#^@]|%[0-9A-Fa-f]{2}|\\[-_~.!$&'()*+,;=/?\#@%])*
+              :(?:[^\s;,"'<>\[\](){}^#@]|%[0-9A-Fa-f]{2}|\\[-_~.!$&'()*+,;=/?\#@%])*)
   | (?P<keyword>[A-Za-z][A-Za-z0-9_]*)
 """, re.VERBOSE)
 
@@ -315,7 +318,26 @@ class _Parser:
         raise TurtleError(f"line {line}: unexpected subject token "
                           f"{value!r}")
 
-    def run(self) -> List[Tuple]:
+    def parse_graph_block(self):
+        """TriG ``{ triples ('.' triples?)* '.'? }`` — graph statements land
+        in the same triple list (the graph label is parsed and ignored,
+        matching the N-Quads posture)."""
+        while True:
+            tok = self.next()
+            if tok[0] == "punct" and tok[1] == "}":
+                return
+            self.push(tok)
+            subject = self.parse_subject()
+            self.parse_predicate_object_list(subject)
+            # the final statement's dot is optional before '}'
+            tok = self.next()
+            if tok[0] == "punct" and tok[1] == "}":
+                return
+            if not (tok[0] == "punct" and tok[1] == "."):
+                raise TurtleError(f"line {tok[2]}: expected '.' or '}}' in "
+                                  f"graph block, got {tok[1]!r}")
+
+    def run(self, trig: bool = False) -> List[Tuple]:
         while True:
             tok = self.next(required=False)
             if tok is None:
@@ -340,21 +362,40 @@ class _Parser:
                                             and nxt[1] == "."):
                     self.push(nxt)
                 continue
+            if trig:
+                # TriG block forms: '{...}', 'GRAPH label {...}',
+                # 'label {...}'
+                if kind == "punct" and value == "{":
+                    self.parse_graph_block()
+                    continue
+                if kind == "keyword" and value.lower() == "graph":
+                    self.parse_subject()        # the label (IRI or bnode)
+                    self.expect_punct("{")
+                    self.parse_graph_block()
+                    continue
             self.push(tok)
             subject = self.parse_subject()
+            if trig:
+                nxt = self.next(required=False)
+                if nxt is not None and nxt[0] == "punct" and nxt[1] == "{":
+                    # the "subject" was a graph label
+                    self.parse_graph_block()
+                    continue
+                if nxt is not None:
+                    self.push(nxt)
             self.parse_predicate_object_list(subject)
             self.expect_punct(".")
         return self.triples
 
 
-def parse_text(text: str) -> List[Tuple]:
-    return _Parser(text).run()
+def parse_text(text: str, trig: bool = False) -> List[Tuple]:
+    return _Parser(text).run(trig=trig)
 
 
-def parse_file(path: str) -> List[Tuple]:
+def parse_file(path: str, trig: bool = False) -> List[Tuple]:
     if path.endswith(".gz"):
         with io.TextIOWrapper(gzip.open(path, "rb"),
                               encoding="utf-8") as f:
-            return parse_text(f.read())
+            return parse_text(f.read(), trig=trig)
     with open(path, "r", encoding="utf-8") as f:
-        return parse_text(f.read())
+        return parse_text(f.read(), trig=trig)

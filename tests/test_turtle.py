@@ -163,6 +163,41 @@ def test_kg_fails_loudly_on_turtle_named_nt(tmp_path):
         KnowledgeGraph(str(bad))
 
 
+def test_trig_graph_blocks():
+    """TriG: all three block forms; labels ignored; triples pooled
+    (reference reads TriG via rdflib, knowledge_graph.py:45-56)."""
+    got = set(turtle.parse_text("""
+        @prefix ex: <http://example.org/> .
+        ex:top ex:p ex:o .                        # default-graph statement
+        { ex:anon ex:p ex:o . }                   # anonymous block
+        GRAPH ex:g1 { ex:a ex:p ex:b ; ex:q ex:c . }
+        ex:g2 { ex:d ex:p ex:e . ex:f ex:p ex:h }  # label form, no final dot
+        graph _:b0 { ex:i ex:p 7 }
+    """, trig=True))
+    ex = "http://example.org/"
+    subjects = {str(s) for s, _, _ in got if isinstance(s, IRI)}
+    assert subjects == {ex + "top", ex + "anon", ex + "a", ex + "d",
+                        ex + "f", ex + "i"}
+    assert len(got) == 7
+    # graph labels must NOT appear as terms
+    assert ex + "g1" not in {str(t) for tr in got for t in tr}
+
+
+def test_trig_off_by_default():
+    """Plain Turtle mode still rejects braces (TriG must be explicit)."""
+    with pytest.raises(turtle.TurtleError):
+        turtle.parse_text("{ <http://e/s> <http://e/p> <http://e/o> . }")
+
+
+def test_kg_reads_trig_files(tmp_path):
+    trig = tmp_path / "g.trig.gz"
+    with gzip.open(trig, "wt") as f:
+        f.write("@prefix ex: <http://e/> .\n"
+                "GRAPH ex:g { ex:a ex:p ex:b . ex:b ex:p ex:c . }\n")
+    kg = KnowledgeGraph(str(trig))
+    assert len(kg) == 2
+
+
 def test_kg_accepts_empty_file(tmp_path):
     empty = tmp_path / "g.nt"
     empty.write_text("# just a comment\n")

@@ -173,7 +173,9 @@ def normalize_fanout(fanout, num_layers: int) -> Optional[List[Optional[int]]]:
         return None
     if isinstance(fanout, (int, np.integer)):
         fanout = [int(fanout)] * num_layers
-    fanout = [int(f) if int(f) > 0 else None for f in fanout]
+    # idempotent: None entries (an already-normalized list) stay None
+    fanout = [int(f) if f is not None and int(f) > 0 else None
+              for f in fanout]
     if len(fanout) != num_layers:
         raise ValueError(
             f"neighbor_fanout has {len(fanout)} entries for "

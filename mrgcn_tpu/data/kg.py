@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import logging
 from collections import Counter
-from typing import Iterable, Iterator, List, Optional, Set
+from typing import Dict, Iterable, Iterator, List, Optional
 
 from mrgcn_tpu.data.ntriples import Triple, Term, parse_file
 from mrgcn_tpu.data.rdf import Literal, UniqueLiteral
@@ -99,27 +99,35 @@ def _has_content(path: str) -> bool:
 
 
 class KnowledgeGraph:
-    """A set of triples plus convenience generators.
+    """Deduped, insertion-ordered triples plus convenience generators.
 
     Construct from one or more N-Triples paths (plain or ``.gz``), an iterable
     of triples, or nothing (empty graph).
     """
 
     def __init__(self, source=None):
-        self._triples: Set[Triple] = set()
+        # dedup container with INSERTION order (dict, not set): every
+        # generator — atoms(), columns(), triples() — iterates in
+        # parse/first-appearance order, so node indexing, edge order and
+        # float accumulation order are reproducible across processes.
+        # A set here made all of those depend on randomized str hashing
+        # whenever distinct terms share a sort key (round-5 review
+        # finding; e.g. "2000"^^gYear vs "2000"^^integer under
+        # separate_literals=false).
+        self._triples: Dict[Triple, None] = {}
 
         if source is None:
             pass
         elif isinstance(source, str):
-            self._triples.update(_read_path(source))
+            self._triples.update(dict.fromkeys(_read_path(source)))
         elif isinstance(source, (list, tuple)) and source \
                 and isinstance(source[0], str):
             for path in source:
-                self._triples.update(_read_path(path))
+                self._triples.update(dict.fromkeys(_read_path(path)))
         elif isinstance(source, KnowledgeGraph):
             self._triples.update(source._triples)
         else:  # iterable of triples
-            self._triples.update(source)
+            self._triples.update(dict.fromkeys(source))
 
         self._property_distribution = Counter(p for _, p, _ in self._triples)
         logger.debug("Knowledge graph imported (%d facts)", len(self._triples))
@@ -139,7 +147,8 @@ class KnowledgeGraph:
         self._triples.clear()
 
     def add(self, triple: Triple) -> None:
-        self._triples.add(triple)
+        if triple not in self._triples:
+            self._triples[triple] = None
         self._property_distribution[triple[1]] += 1
 
     def remove_triples(self, triples: Iterable[Triple]) -> int:
@@ -151,7 +160,7 @@ class KnowledgeGraph:
         removed = 0
         for t in set(triples):
             if t in self._triples:
-                self._triples.discard(t)
+                del self._triples[t]
                 self._property_distribution[t[1]] -= 1
                 removed += 1
         return removed

@@ -24,6 +24,7 @@ Semantics preserved exactly:
 
 from __future__ import annotations
 
+import itertools
 import logging
 import os
 from dataclasses import dataclass, field
@@ -98,8 +99,14 @@ def generate(kg: KnowledgeGraph, config: dict) -> Tuple[GraphStructure,
     if separate_literals:
         atoms = KnowledgeGraph.sort_atoms(kg.atoms(True))
     else:
-        # same dedup semantics as atoms() (hash/eq over terms), C-speed
-        atoms = KnowledgeGraph.sort_atoms(set(s_col) | set(o_col))
+        # same dedup semantics AND ORDER as atoms(False) (s, o per triple,
+        # first appearance), C-speed via dict.fromkeys. Order matters:
+        # sort_atoms is a stable str-keyed sort, so atoms whose str() ties
+        # (e.g. "2000"^^gYear vs "2000"^^integer) keep their encounter
+        # order — a plain set here made node indexing depend on randomized
+        # str hashing across processes (round-5 review finding).
+        interleaved = itertools.chain.from_iterable(zip(s_col, o_col))
+        atoms = KnowledgeGraph.sort_atoms(dict.fromkeys(interleaved))
     nodes_map = {node: i for i, node in enumerate(atoms)}
     num_nodes = len(nodes_map)
 

@@ -113,6 +113,12 @@ class MRGCN(nn.Module):
     # XLA-equivalent paths. Explicit MRGCN_TEXT_{ATTN,MLP} win.
     under_mesh: bool = False
     mesh: Optional[object] = None
+    # explicit text-attention impl for THIS model (checkpoint restore
+    # passes the reconciled impl here); None falls back to the
+    # MRGCN_TEXT_ATTN env var / 'auto'. Kept off os.environ so one
+    # restored legacy checkpoint can't contaminate later builds in the
+    # same process.
+    text_attn_impl: Optional[str] = None
 
     def setup(self):
         encoders = {}
@@ -149,8 +155,8 @@ class MRGCN(nn.Module):
                         # tests/test_models.py): "plain"/"plain_fused"/
                         # "fused_core"/"flash"; "auto" resolves per
                         # TextEncoder's measured defaults
-                        attn_impl=os.environ.get("MRGCN_TEXT_ATTN",
-                                                 "auto"),
+                        attn_impl=self.text_attn_impl
+                        or os.environ.get("MRGCN_TEXT_ATTN", "auto"),
                         under_mesh=self.under_mesh, mesh=self.mesh,
                         name=name)
             elif datatype == "ogc.wktLiteral":

@@ -78,8 +78,10 @@ def _chunk_ranks_impl(data, node_embeddings, edge_embeddings, filter_fact,
         greater = jnp.sum(sc > true_scores, axis=1)
         ties = jnp.sum(sc == true_scores, axis=1)
         # optimistic rank + half-tie correction with round-half-to-even
-        # (reference: link_prediction.py:632-638)
-        return greater + jnp.round((ties - 1) / 2.0).astype(jnp.int64) + 1
+        # (reference: link_prediction.py:632-638). int32: ranks are
+        # bounded by num_nodes, and int64 is unavailable under the
+        # default x64-disabled config anyway (it warned every eval)
+        return greater + jnp.round((ties - 1) / 2.0).astype(jnp.int32) + 1
 
     raw = ranks_of(scores)
     filtered_scores = scores.at[filter_fact, filter_cand].set(

@@ -57,11 +57,13 @@ def build_dataset(kg, nodes_map, config: Dict, featureless: bool):
     return build_dataset_lp(kg, nodes_map, config, featureless)
 
 
-def build_model(inputs: RunInputs, config: Dict, mesh=None) -> MRGCN:
+def build_model(inputs: RunInputs, config: Dict, mesh=None,
+                text_attn=None) -> MRGCN:
     hidden_dims = hidden_dims_from_config(config, None)
     mesh = mesh if mesh is not None \
         else getattr(inputs.edges, "mesh", None)
     return MRGCN(hidden_dims=hidden_dims,
+                 text_attn_impl=text_attn,
                  modules_config=inputs.modules_config,
                  num_relations=inputs.num_relations,
                  num_nodes=inputs.num_nodes,
@@ -252,6 +254,16 @@ def make_corruptor(neg_ratio: float = 0.2):
         # the default ratio, matching the reference exactly
         ncp = (M * neg_num) // 1000
         nc_head = ncp // 2
+        # n * neg_num // 1000 == n*q + (n*r)//1000 exactly — keeps every
+        # traced product <= M * max(q, r) so the int32 math can't overflow
+        # at large batch x ratio (guarded below; a configuration past the
+        # guard could not allocate its ncp-row array anyway)
+        q, r = divmod(neg_num, 1000)
+        if M * max(q, r, 1) >= 2**31:
+            raise ValueError(
+                f"padded batch {M} x negative_sampling_ratio "
+                f"{neg_num / 1000} exceeds int32 corruption math; lower "
+                f"gcn_batchsize or the ratio")
         k1, k2, k3 = jax.random.split(rng, 3)
         if ncp <= M:
             # distinct real rows first: random key, padding pushed back
@@ -263,7 +275,32 @@ def make_corruptor(neg_ratio: float = 0.2):
             # uniformly with replacement
             pick = jax.random.randint(k1, (ncp,), 0,
                                       jnp.maximum(num_triples, 1))
-        corrupted = data[pick]
+
+        n_real = jnp.minimum(num_triples * q + (num_triples * r) // 1000,
+                             ncp)
+        n_real_head = n_real // 2
+        n_real_tail = n_real - n_real_head
+        # Route the REAL picks into the weighted slots of BOTH segments.
+        # ``pick`` packs real source rows first (the sort pushes padding
+        # back; the replacement branch draws real rows only), but the
+        # head/tail segments are STATIC halves: without routing, the
+        # weighted tail slots [nc_head, nc_head + n_real_tail) read picks
+        # [nc_head, ...) which are PADDING rows whenever
+        # num_triples < nc_head + n_real_tail — the model then trains on
+        # (0, 0, tail) garbage negatives at full weight. Weighted head
+        # slots take picks [0, n_real_head), weighted tail slots picks
+        # [n_real_head, n_real); the zero-weight remainder slots take the
+        # leftover picks (possibly padding — harmless at weight 0).
+        t = jnp.arange(ncp)
+        src = jnp.where(
+            t < n_real_head, t,
+            jnp.where(
+                t < nc_head, n_real + (t - n_real_head),
+                jnp.where(t < nc_head + n_real_tail,
+                          n_real_head + (t - nc_head),
+                          n_real + (nc_head - n_real_head)
+                          + (t - nc_head - n_real_tail))))
+        corrupted = data[pick[src]]
         heads = pool[jax.random.randint(k2, (nc_head,), 0, num_pool)]
         tails = pool[jax.random.randint(k3, (ncp - nc_head,), 0,
                                         num_pool)]
@@ -271,11 +308,9 @@ def make_corruptor(neg_ratio: float = 0.2):
         corrupted = corrupted.at[nc_head:, 2].set(tails)
         triples = jnp.concatenate([data, corrupted], axis=0)
 
-        n_real = jnp.minimum((num_triples * neg_num) // 1000, ncp)
-        n_real_head = n_real // 2
         w_pos = (jnp.arange(M) < num_triples)
         w_head = jnp.arange(nc_head) < n_real_head
-        w_tail = jnp.arange(ncp - nc_head) < (n_real - n_real_head)
+        w_tail = jnp.arange(ncp - nc_head) < n_real_tail
         labels = jnp.concatenate([jnp.ones(M, jnp.float32),
                                   jnp.zeros(ncp, jnp.float32)])
         weights = jnp.concatenate([w_pos, w_head, w_tail]) \
@@ -516,12 +551,13 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
     # (and with it the param-tree shape) is resolved at trace time, so a
     # checkpoint saved under a different default must pin it up front
     state = None
+    text_attn = None
     if checkpoint is not None:
         state = tutils.load_checkpoint(checkpoint)
         if state.get("format") != "torch":
-            tutils.reconcile_text_attn(state["params"])
+            text_attn = tutils.reconcile_text_attn(state["params"])
 
-    model = build_model(inputs, config, mesh=mesh)
+    model = build_model(inputs, config, mesh=mesh, text_attn=text_attn)
 
     jrng = jax.random.PRNGKey(seed)
     jrng, init_rng = jax.random.split(jrng)

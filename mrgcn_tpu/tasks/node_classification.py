@@ -59,11 +59,12 @@ def mk_target_matrices(target_triples: Dict, nodes_map: Dict):
 # ---------------------------------------------------------------------------
 
 def build_model(inputs: RunInputs, config: Dict, num_classes: int,
-                mesh=None) -> MRGCN:
+                mesh=None, text_attn=None) -> MRGCN:
     hidden_dims = hidden_dims_from_config(config, num_classes)
     mesh = mesh if mesh is not None \
         else getattr(inputs.edges, "mesh", None)
     return MRGCN(hidden_dims=hidden_dims,
+                 text_attn_impl=text_attn,
                  modules_config=inputs.modules_config,
                  num_relations=inputs.num_relations,
                  num_nodes=inputs.num_nodes,
@@ -356,12 +357,14 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
     # (and with it the param-tree shape) is resolved at trace time, so a
     # checkpoint saved under a different default must pin it up front
     state = None
+    text_attn = None
     if checkpoint is not None:
         state = tutils.load_checkpoint(checkpoint)
         if state.get("format") != "torch":
-            tutils.reconcile_text_attn(state["params"])
+            text_attn = tutils.reconcile_text_attn(state["params"])
 
-    model = build_model(inputs, config, num_classes, mesh=mesh)
+    model = build_model(inputs, config, num_classes, mesh=mesh,
+                        text_attn=text_attn)
 
     rng = jax.random.PRNGKey(seed)
     rng, init_rng = jax.random.split(rng)

@@ -314,35 +314,40 @@ def _find_text_blocks(params, out):
             _find_text_blocks(val, out)
 
 
-def reconcile_text_attn(params) -> None:
+def reconcile_text_attn(params) -> Optional[str]:
     """Inspect a *loaded checkpoint's* text-encoder subtree and reconcile
-    ``MRGCN_TEXT_ATTN`` with it BEFORE the model is built: auto-select a
-    compatible impl when the env var is unset/'auto', fail with an explicit
-    message when it is explicitly incompatible. No-op for checkpoints
-    without a from-scratch TextEncoder."""
+    the text-attention impl with it BEFORE the model is built: RETURN a
+    compatible impl for this model build when ``MRGCN_TEXT_ATTN`` is
+    unset/'auto', fail with an explicit message when it is explicitly
+    incompatible. Returns None (no override) for checkpoints without a
+    from-scratch TextEncoder or when the env choice is already compatible.
+
+    Deliberately does NOT write os.environ: the override applies to the
+    model being restored only — a later model built in the same process
+    (test suites, benchmark loops) must get the normal default (round-5
+    review finding)."""
     import os
     blocks: list = []
     _find_text_blocks(params, blocks)
     if not blocks:
-        return
+        return None
     flavour = None
     for marker, name, compatible, fix in _ATTN_TREE_FLAVOURS:
         if any(k.startswith(marker) for k in blocks[0]):
             flavour = (name, compatible, fix)
             break
     if flavour is None:
-        return
+        return None
     name, compatible, fix = flavour
     current = os.environ.get("MRGCN_TEXT_ATTN", "auto")
     if current in compatible:
-        return
+        return None
     if current == "auto" and fix is not None:
         logger.warning(
             "Checkpoint carries a %s text-attention param tree; "
-            "selecting MRGCN_TEXT_ATTN=%s for this run (the 'auto' "
+            "selecting attn_impl=%s for this restore (the 'auto' "
             "default changed to the fused path)", name, fix)
-        os.environ["MRGCN_TEXT_ATTN"] = fix
-        return
+        return fix
     raise RuntimeError(
         f"Checkpoint text-attention param tree is {name}, incompatible "
         f"with MRGCN_TEXT_ATTN={current}; set MRGCN_TEXT_ATTN="

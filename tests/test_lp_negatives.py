@@ -86,6 +86,26 @@ def test_invalid_ratio_raises():
         link_prediction.make_corruptor(-0.1)
 
 
+@pytest.mark.parametrize("ratio,num_triples", [(1.0, 50), (0.5, 9), (0.2, 3)])
+def test_weighted_negatives_source_real_rows(ratio, num_triples):
+    """Regression: every WEIGHTED negative must be a corrupted copy of a
+    REAL source row, and the weighted sources must be distinct (ratio <= 1).
+    Before the fix, padded batches at num_triples < nc_head + n_real_tail
+    routed (0, 0, 0) padding rows into weighted tail slots — the model
+    trained on (0, 0, tail) garbage negatives at full weight."""
+    triples, labels, weights = _corrupt_once(ratio, M=64,
+                                             num_triples=num_triples)
+    corr = np.asarray(triples[64:])
+    w = np.asarray(weights[64:]).astype(bool)
+    ncp = corr.shape[0]
+    nc_head = ncp // 2
+    # head-corrupted rows keep the real tail (source id + 1000); the tail
+    # segment keeps the real head
+    srcs = np.concatenate([corr[:nc_head, 2] - 1000, corr[nc_head:, 0]])
+    assert np.all(srcs[w] < num_triples), srcs[w]
+    assert len(np.unique(srcs[w])) == int(w.sum())   # distinct real rows
+
+
 @pytest.fixture(scope="module")
 def lp_artifact(tmp_path_factory):
     d = tmp_path_factory.mktemp("lp_neg")

@@ -52,6 +52,7 @@ def test_normalize_fanout():
     assert nf(10, 2) == [10, 10]
     assert nf([25, 10], 2) == [25, 10]
     assert nf([25, -1], 2) == [25, None]
+    assert nf(nf([25, -1], 2), 2) == [25, None]   # idempotent (run() -> make_batches re-normalizes)
     assert nf([-1, 0], 2) is None
     with pytest.raises(ValueError):
         nf([25], 2)
@@ -180,10 +181,13 @@ def _run_nc(art, config, **task_overrides):
 
 
 def test_nc_driver_fanout_smoke(nc_artifact):
-    """Capped training runs end-to-end and still learns the literal signal."""
+    """Capped training runs end-to-end and still learns the literal signal.
+    The mixed per-hop list form pins the double-normalization path
+    (run() normalizes, make_batches normalizes again — must be
+    idempotent)."""
     art, config = nc_artifact
     _, _, loss, acc, _, _ = _run_nc(art, config, batchsize=8,
-                                    neighbor_fanout=4,
+                                    neighbor_fanout=[4, -1],
                                     neighbor_fanout_rounds=2)
     assert np.isfinite(loss)
     assert acc >= 0.6, f"sampled-training accuracy {acc}"

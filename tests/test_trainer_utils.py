@@ -211,13 +211,17 @@ def test_optim_group_kwargs_change_the_update():
 
 
 def test_reconcile_text_attn_legacy_mha_autoselects_xla(monkeypatch):
+    """The reconciled impl is RETURNED for the model being restored; the
+    env must stay untouched so later builds in the same process get the
+    normal default (round-5 review: a restored legacy checkpoint used to
+    contaminate every subsequent model via os.environ)."""
     monkeypatch.delenv("MRGCN_TEXT_ATTN", raising=False)
     params = {"xsd_string_0": {"_TextBlock_0": {
         "MultiHeadDotProductAttention_0": {"query": {"kernel": 0}},
         "LayerNorm_0": {}}}}
-    tutils.reconcile_text_attn(params)
     import os
-    assert os.environ["MRGCN_TEXT_ATTN"] == "xla"
+    assert tutils.reconcile_text_attn(params) == "xla"
+    assert "MRGCN_TEXT_ATTN" not in os.environ
 
 
 def test_reconcile_text_attn_explicit_conflict_raises(monkeypatch):
@@ -233,8 +237,8 @@ def test_reconcile_text_attn_fused_tree_is_noop(monkeypatch):
     import os
     params = {"xsd_string_0": {"_TextBlock_0": {
         "qkv": {"kernel": 0}, "out": {"kernel": 0}}}}
-    tutils.reconcile_text_attn(params)
+    assert tutils.reconcile_text_attn(params) is None
     assert "MRGCN_TEXT_ATTN" not in os.environ
-    # and a checkpoint without any text encoder never touches the env
-    tutils.reconcile_text_attn({"rgcn": {"relations": 0}})
+    # and a checkpoint without any text encoder never needs an override
+    assert tutils.reconcile_text_attn({"rgcn": {"relations": 0}}) is None
     assert "MRGCN_TEXT_ATTN" not in os.environ

@@ -9,13 +9,16 @@ seeds, three regimes:
   adv   — ratio 1.0, self-adversarial temperature 1.0 (RotatE-style)
 
 Run: MRGCN_PLATFORM=cpu python benchmarks/neg_schedule_bench.py
+(MRGCN_NEG_EPOCHS overrides the epoch budget, default 40)
 
-Measured round 5 (3 seeds, also at 200 epochs — see BENCH_EXTENDED.md
-"LP negative-sample scheduling"): at this synthetic scale the reference
-default WINS (0.099 vs dense 0.053 vs adv 0.074 filtered MRR at 200
-epochs); self-adversarial weighting recovers about half of what dense
-negatives lose. The knobs are shipped as large-KG capabilities (RotatE's
-gains are reported on 15k-40k-entity vocabularies), default-off.
+Measured round 5 AFTER the corruptor weighted-slot fix (d3394ec; the
+pre-fix A/B trained dense/adv on partly-garbage negatives and wrongly
+favoured the default — numbers in BENCH_EXTENDED.md "LP negative-sample
+scheduling"): at 40 epochs dense/adv reach ~1.5x the default's filtered
+MRR (0.088/0.082 vs 0.060) — faster convergence per epoch; at 200
+epochs the regimes statistically tie (0.095/0.114 vs 0.107), with
+self-adversarial nominally best and lowest variance. Knobs ship
+default-off (ratio 0.2 ≡ reference bit-exact) for parity.
 """
 
 import copy
@@ -41,7 +44,7 @@ from mrgcn_tpu.tasks import link_prediction  # noqa: E402
 
 from tests import synth  # noqa: E402
 
-EPOCHS = 40
+EPOCHS = int(os.environ.get("MRGCN_NEG_EPOCHS", "40"))
 SEEDS = (3, 11, 29)
 REGIMES = {
     "base": {},

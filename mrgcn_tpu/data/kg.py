@@ -35,12 +35,15 @@ def _format_of(path: str) -> str:
         return "trig"     # graph labels parsed and ignored
     if ext in ("rdf", "rdfs", "owl", "xml"):
         return "rdfxml"
+    if ext in ("jsonld", "json"):
+        return "jsonld"   # fail-loud subset, see data/jsonld.py
     raise ValueError(
         f"Unsupported RDF serialisation {'.' + ext if ext else path!r}: "
         f"{path}. Supported: N-Triples (.nt[.gz]), N-Quads (.nq[.gz]), "
-        f"Turtle (.ttl/.n3[.gz]), TriG (.trig[.gz]) and RDF/XML "
-        f"(.rdf/.rdfs/.owl/.xml[.gz]). Convert other serialisations "
-        f"(JSON-LD, ...) to N-Triples first, e.g. with `rapper` or rdflib.")
+        f"Turtle (.ttl/.n3[.gz]), TriG (.trig[.gz]), RDF/XML "
+        f"(.rdf/.rdfs/.owl/.xml[.gz]) and JSON-LD (.jsonld[.gz], "
+        f"documented subset). Convert other serialisations to N-Triples "
+        f"first, e.g. with `rapper` or rdflib.")
 
 
 def _read_path(path: str):
@@ -52,6 +55,9 @@ def _read_path(path: str):
     if fmt in ("turtle", "trig"):
         from mrgcn_tpu.data import turtle
         return turtle.parse_file(path, trig=(fmt == "trig"))
+    if fmt == "jsonld":
+        from mrgcn_tpu.data import jsonld
+        return jsonld.parse_file(path)
     if fmt == "rdfxml":
         # resolve relative rdf:about/resource/ID against the document URI,
         # as rdflib does (reference: data/io/knowledge_graph.py:45-56) —

@@ -148,6 +148,38 @@ def test_not_json_fails():
         jsonld.parse_text("<rdf/>")
 
 
+def test_jsonld_roundtrip_matches_ntriples_dataset(tmp_path):
+    """The bundled classification context re-serialised as expanded
+    JSON-LD parses to the IDENTICAL triple set (the /verify drive for
+    this feature, pinned as a test)."""
+    src = KnowledgeGraph("tests/tasks/classification/context.nt.gz")
+
+    def ref(t):
+        if isinstance(t, Literal):
+            o = {"@value": str(t)}
+            if t.language:
+                o["@language"] = t.language
+            elif t.datatype:
+                o["@type"] = str(t.datatype)
+            return o
+        if isinstance(t, BNode):
+            return {"@id": "_:" + str(t)}
+        return {"@id": str(t)}
+
+    nodes = {}
+    for s, p, o in src.triples(separate_literals=False):
+        sid = ("_:" + str(s)) if isinstance(s, BNode) else str(s)
+        node = nodes.setdefault(sid, {"@id": sid})
+        node.setdefault(str(p), []).append(ref(o))
+    path = tmp_path / "ctx.jsonld.gz"
+    with gzip.open(path, "wt", encoding="utf-8") as f:
+        json.dump({"@graph": list(nodes.values())}, f)
+
+    back = KnowledgeGraph(str(path))
+    assert set(back.triples(separate_literals=False)) == \
+        set(src.triples(separate_literals=False))
+
+
 def test_kg_reads_jsonld_files(tmp_path):
     path = tmp_path / "g.jsonld.gz"
     with gzip.open(path, "wt") as f:

@@ -129,11 +129,13 @@ class _Context:
             return value                      # keyword, caller handles
         if value in self.terms and vocab:
             mapped = self.terms[value].get("@id")
-            if mapped is None:
-                raise JsonLdError(f"term {value!r} has no @id mapping")
-            if mapped.startswith("@"):
-                return mapped                 # keyword alias
-            return self.expand_iri(mapped, vocab=True)
+            if mapped is not None:
+                if mapped.startswith("@"):
+                    return mapped             # keyword alias
+                return self.expand_iri(mapped, vocab=True)
+            # expanded term definition without @id (coercion only, e.g.
+            # {"age": {"@type": "xsd:integer"}}): the term itself expands
+            # against @vocab below, per JSON-LD 1.0
         prefix, sep, suffix = value.partition(":")
         if sep and not suffix.startswith("//"):
             if prefix == "_":                 # blank node
@@ -172,9 +174,21 @@ class _Parser:
         return IRI(expanded)
 
     # -- values ----------------------------------------------------------
+    @staticmethod
+    def _expand_datatype(coerce, ctx: _Context) -> Optional[str]:
+        """A term definition's @type as a datatype IRI, fully expanded.
+        ``@id``/``@vocab`` coercions are IRI coercions, not datatypes —
+        they apply to string values only (handled in object_term) and
+        return None here so non-string scalars keep their JSON typing."""
+        if coerce is None or coerce in ("@id", "@vocab"):
+            return None
+        if coerce.startswith("@"):
+            raise JsonLdError(f"unsupported @type coercion {coerce!r}")
+        return ctx.expand_iri(coerce, vocab=True)
+
     def scalar_literal(self, value, term_def: dict, ctx: _Context):
         """JSON scalar -> Literal per the term's coercion / context."""
-        coerce = term_def.get("@type")
+        coerce = self._expand_datatype(term_def.get("@type"), ctx)
         if isinstance(value, bool):
             return Literal("true" if value else "false",
                            datatype=coerce or XSD_NS + "boolean")
@@ -185,9 +199,8 @@ class _Parser:
             # the numeric vectorizer parses it with float(str(node))
             return Literal(repr(value), datatype=coerce or XSD_NS + "double")
         # string
-        if coerce is not None and coerce != "@id":
-            return Literal(value, datatype=ctx.expand_iri(coerce,
-                                                          vocab=True))
+        if coerce is not None:
+            return Literal(value, datatype=coerce)
         lang = term_def.get("@language", ctx.language)
         return Literal(value, language=lang)
 
@@ -199,10 +212,17 @@ class _Parser:
         if "@index" in obj:
             raise JsonLdError("@index is not supported")
         value = obj["@value"]
+        if value is None:
+            raise JsonLdError(
+                "@value: null is not supported (JSON-LD drops such "
+                "statements; drop it from the input instead)")
         if "@type" in obj:
             dt = obj["@type"]
             if dt == "@json":
                 raise JsonLdError("@json datatypes are not supported")
+            if not isinstance(dt, str) or dt.startswith("@"):
+                raise JsonLdError(f"unsupported @type {dt!r} in value "
+                                  f"object")
             lex = value if isinstance(value, str) else \
                 str(self.scalar_literal(value, {}, ctx))
             return Literal(lex, datatype=ctx.expand_iri(dt, vocab=True))
@@ -211,7 +231,9 @@ class _Parser:
                 raise JsonLdError("@language on a non-string @value")
             return Literal(value, language=obj["@language"])
         if isinstance(value, str):
-            return Literal(value, language=ctx.language)
+            # explicit value objects do NOT inherit the context default
+            # language (JSON-LD expansion applies it to bare strings only)
+            return Literal(value)
         return self.scalar_literal(value, {}, ctx)
 
     def list_node(self, items: list, term_def: dict, ctx: _Context):
@@ -242,6 +264,8 @@ class _Parser:
             return self.node_object(value, ctx)      # nested node
         if isinstance(value, str) and term_def.get("@type") == "@id":
             return self.subject_term(value, ctx)
+        if isinstance(value, str) and term_def.get("@type") == "@vocab":
+            return IRI(ctx.expand_iri(value, vocab=True))
         if isinstance(value, (str, int, float, bool)):
             return self.scalar_literal(value, term_def, ctx)
         raise JsonLdError(f"unsupported object value: {value!r}")
@@ -291,10 +315,13 @@ class _Parser:
                     f"is not supported")
             predicate = IRI(expanded)
             if term_def.get("@container") == "@list" \
-                    and isinstance(value, list):
+                    and not (isinstance(value, dict)
+                             and "@list" in value):
+                # expansion wraps non-array values of list containers
+                items = value if isinstance(value, list) else [value]
                 self.triples.append(
                     (subject, predicate,
-                     self.list_node(value, term_def, ctx)))
+                     self.list_node(items, term_def, ctx)))
                 continue
             values = value if isinstance(value, list) else [value]
             for v in values:

@@ -265,12 +265,13 @@ class _Parser:
             if tok is None:
                 return
             if tok[0] == "punct" and tok[1] == ";":
-                # a ; may be followed by . or ] (trailing semicolon)
+                # a ; may be followed by . or ] — or } inside a TriG
+                # graph block (trailing semicolon)
                 nxt = self.next(required=False)
                 if nxt is None:
                     return
                 self.push(nxt)
-                if nxt[0] == "punct" and nxt[1] in ".]":
+                if nxt[0] == "punct" and nxt[1] in ".]}":
                     return
                 continue
             self.push(tok)

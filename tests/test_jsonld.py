@@ -143,6 +143,68 @@ def test_unsupported_constructs_fail_loudly(doc, match):
         jsonld.parse_text(json.dumps(doc))
 
 
+def test_coercion_expansion_on_nonstring_scalars():
+    """Regression (round-5 review): compact-IRI @type coercions must be
+    EXPANDED for int/float/bool values too, and @id coercion on a
+    non-string must not leak '@id' as a literal datatype."""
+    got = P({
+        "@context": {"xsd": XSD, "ex": EX,
+                     "born": {"@id": "ex:born", "@type": "xsd:gYear"},
+                     "knows": {"@id": "ex:knows", "@type": "@id"}},
+        "@id": EX + "a",
+        "born": 2000,
+        "knows": True,       # nonsense input: keeps JSON boolean typing
+    })
+    assert (IRI(EX + "a"), IRI(EX + "born"),
+            Literal("2000", datatype=XSD + "gYear")) in got
+    assert (IRI(EX + "a"), IRI(EX + "knows"),
+            Literal("true", datatype=XSD + "boolean")) in got
+
+
+def test_vocab_term_definition_without_id():
+    """Regression (round-5 review): @vocab + a coercion-only term
+    definition ({'age': {'@type': ...}}) is spec-valid — the term
+    expands against @vocab."""
+    got = P({
+        "@context": {"@vocab": EX, "xsd": XSD,
+                     "age": {"@type": "xsd:integer"}},
+        "@id": EX + "a",
+        "age": "3",
+    })
+    assert (IRI(EX + "a"), IRI(EX + "age"),
+            Literal("3", datatype=XSD + "integer")) in got
+
+
+def test_list_container_wraps_single_value():
+    """Regression (round-5 review): a @list-container term with a single
+    non-array value expands to a one-element rdf list, not a plain
+    triple."""
+    got = list(jsonld.parse_text(json.dumps({
+        "@context": {"seq": {"@id": EX + "seq", "@container": "@list"}},
+        "@id": EX + "s",
+        "seq": 1,
+    })))
+    objs = [o for s, p, o in got if p == IRI(EX + "seq")]
+    assert len(objs) == 1 and isinstance(objs[0], BNode)
+    assert (objs[0], RDF_FIRST,
+            Literal("1", datatype=XSD + "integer")) in got
+    assert (objs[0], RDF_REST, RDF_NIL) in got
+
+
+def test_value_object_ignores_default_language_and_rejects_null():
+    """Regression (round-5 review): explicit value objects do not inherit
+    the context default language; @value: null fails loudly."""
+    got = P({
+        "@context": {"@language": "en", "@vocab": EX},
+        "@id": EX + "a",
+        "p": {"@value": "x"},
+    })
+    assert (IRI(EX + "a"), IRI(EX + "p"), Literal("x")) in got
+    with pytest.raises(JsonLdError, match="null"):
+        jsonld.parse_text(json.dumps(
+            {"@id": EX + "a", EX + "p": {"@value": None}}))
+
+
 def test_not_json_fails():
     with pytest.raises(JsonLdError, match="not valid JSON"):
         jsonld.parse_text("<rdf/>")

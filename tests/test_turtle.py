@@ -183,6 +183,16 @@ def test_trig_graph_blocks():
     assert ex + "g1" not in {str(t) for tr in got for t in tr}
 
 
+def test_trig_trailing_semicolon_in_block():
+    """Regression (round-5 review): rdflib-produced TriG commonly ends
+    predicate lists with a dangling ';' before '}' — grammar-legal."""
+    got = set(turtle.parse_text(
+        "@prefix ex: <http://e/> .\n"
+        "ex:g { ex:a ex:p ex:b ; }\n", trig=True))
+    assert got == {(IRI("http://e/a"), IRI("http://e/p"),
+                    IRI("http://e/b"))}
+
+
 def test_trig_off_by_default():
     """Plain Turtle mode still rejects braces (TriG must be explicit)."""
     with pytest.raises(turtle.TurtleError):

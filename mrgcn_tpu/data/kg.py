@@ -155,7 +155,10 @@ class KnowledgeGraph:
     def add(self, triple: Triple) -> None:
         if triple not in self._triples:
             self._triples[triple] = None
-        self._property_distribution[triple[1]] += 1
+            self._property_distribution[triple[1]] += 1
+        # duplicate adds are no-ops (set semantics): the distribution
+        # must keep matching the deduped store, or property_frequency
+        # over-counts
 
     def remove_triples(self, triples: Iterable[Triple]) -> int:
         """Subtract triples; returns the number removed.

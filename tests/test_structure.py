@@ -32,6 +32,17 @@ def test_node_order_deterministic(tiny_kg):
     assert s.num_nodes == 3
 
 
+def test_kg_duplicate_add_is_noop():
+    """Set semantics: re-adding an existing triple must not inflate the
+    property distribution that property_frequency reads."""
+    t = (IRI("http://x/a"), IRI("http://x/p"), IRI("http://x/b"))
+    kg = KnowledgeGraph([t])
+    kg.add(t)
+    kg.add((IRI("http://x/a"), IRI("http://x/p"), IRI("http://x/c")))
+    assert len(kg) == 2
+    assert kg.property_frequency(IRI("http://x/p")) == 2
+
+
 def test_shared_literal_tie_order_matches_atoms_oracle():
     """separate_literals=False with atoms whose str() ties (same lexical
     form, different datatype): node order must equal the stable sort of

@@ -214,7 +214,9 @@ class KnowledgeGraph:
                 yield atom
 
     def non_terminal_atoms(self) -> Iterator[Term]:
-        for atom in frozenset(s for s, _, _ in self._triples):
+        # dict.fromkeys, not a set: first-appearance order, like the rest
+        # of the generators
+        for atom in dict.fromkeys(s for s, _, _ in self._triples):
             yield atom
 
     def terminal_atoms(self) -> Iterator[Term]:

@@ -22,6 +22,16 @@ Batching semantics mirror the reference (reference: lp.py:477-548):
   * in test mode train+valid splits merge (reference: lp.py:102-108);
   * early stopping on ``1 - valid raw MRR`` at eval-interval cadence
     (reference: lp.py:362-364).
+
+TPU-scale extensions beyond the reference: ``[task] neighbor_fanout``
+caps each hop's per-node expansion in node-sliced TRAINING batches
+(importance-rescaled norms, unbiased aggregation estimator — same
+machinery as NC, :mod:`mrgcn_tpu.data.batching`), with
+``neighbor_fanout_rounds`` pre-building independent resamples cycled
+across epochs; valid/test batches and the final ranking always expand
+fully so eval metrics stay exact. ``negative_sampling_ratio`` /
+``negative_adversarial_temperature`` reschedule the corruption
+(see :func:`make_corruptor`).
 """
 
 from __future__ import annotations
@@ -103,8 +113,17 @@ class LPBatch:
 
 def make_lp_batches(inputs: RunInputs, data: np.ndarray,
                     gcn_batchsize: int, test_batchsize: int,
-                    num_layers: int) -> List[LPBatch]:
-    """Reference batching (reference: lp.py:477-548)."""
+                    num_layers: int, fanout=None,
+                    rng: Optional[np.random.Generator] = None
+                    ) -> List[LPBatch]:
+    """Reference batching (reference: lp.py:477-548).
+
+    ``fanout`` (``[task] neighbor_fanout``, normalized or raw — see
+    :func:`mrgcn_tpu.data.batching.normalize_fanout`) caps each hop's
+    per-node expansion with importance-rescaled norms in the node-sliced
+    branch, bounding batch shapes / HBM like the NC path. Pass it for
+    TRAINING batches only: ranking must ride exact full-expansion
+    embeddings."""
     sample_nodes = np.union1d(data[:, 0], data[:, 2])
     num_nodes = len(sample_nodes)
     if gcn_batchsize <= 0:
@@ -142,7 +161,8 @@ def make_lp_batches(inputs: RunInputs, data: np.ndarray,
                                      for i in data_subset[:, 2]]
 
                 mb = batching.sample_minibatch(index, subset_nodes,
-                                               num_layers)
+                                               num_layers, fanout=fanout,
+                                               rng=rng)
                 feats = batching.subset_features(
                     inputs.features, mb.outer_nodes,
                     num_rows=mb.layer_edges[0].num_in)
@@ -164,6 +184,10 @@ def make_lp_batches(inputs: RunInputs, data: np.ndarray,
                            num_pool=b.num_pool)
                    for b, (f, e) in zip(batches, put)]
     else:
+        if fanout is not None:
+            logger.warning("neighbor_fanout is ignored in full-graph LP "
+                           "mode (set [task] gcn_batchsize below the "
+                           "split's node count to enable sampling)")
         num_samples = data.shape[0]
         for subset in np.array_split(np.arange(num_samples),
                                      max(num_samples // test_batchsize, 1)):
@@ -603,8 +627,35 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
     early_stop = tutils.EarlyStop(patience, tolerance) \
         if patience > 0 else None
 
-    train_batches = make_lp_batches(inputs, data["train"], gcn_batchsize,
-                                    test_batchsize, num_layers)
+    # neighbour-sampled TRAINING batches (TPU-scale extension mirroring
+    # NC: [task] neighbor_fanout caps each hop's per-node expansion with
+    # importance-rescaled norms; neighbor_fanout_rounds pre-builds R
+    # independent resamples cycled across epochs). Only the train split
+    # samples — valid/test batches and the final ranking always expand
+    # fully, so reported eval metrics stay exact. Train MRR is computed
+    # on the sampled train batches (a training estimator, like NC's
+    # train accuracy under sampling).
+    from mrgcn_tpu.data import batching as _batching
+    fanout_cfg = config["task"].get("neighbor_fanout")
+    fanout = None
+    if fanout_cfg not in (None, -1):
+        num_train_nodes = len(np.union1d(data["train"][:, 0],
+                                         data["train"][:, 2]))
+        if 0 < gcn_batchsize < num_train_nodes:
+            fanout = _batching.normalize_fanout(fanout_cfg, num_layers)
+        else:
+            logger.warning("neighbor_fanout is ignored in full-graph LP "
+                           "mode (set [task] gcn_batchsize below the "
+                           "split's node count to enable sampling)")
+    rounds = max(1, int(config["task"].get("neighbor_fanout_rounds", 1))) \
+        if fanout is not None else 1
+    sample_rng = np.random.default_rng(seed)
+
+    train_rounds = [make_lp_batches(inputs, data["train"], gcn_batchsize,
+                                    test_batchsize, num_layers,
+                                    fanout=fanout, rng=sample_rng)
+                    for _ in range(rounds)]
+    train_batches = train_rounds[0]
     valid_batches = make_lp_batches(inputs, data["valid"], gcn_batchsize,
                                     test_batchsize, num_layers) \
         if data["valid"] is not None else []
@@ -618,12 +669,17 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
     import os as _os
     use_scan = (_os.environ.get("MRGCN_SCAN_BATCHES", "1") != "0"
                 and len(train_batches) > 1)
-    train_groups = group_lp_batches(train_batches) if use_scan else None
+    train_group_rounds = [group_lp_batches(b) if use_scan else None
+                          for b in train_rounds]
+    train_groups = train_group_rounds[0]
     # per-batch path: ship the static triple/pool arrays to the device
     # ONCE — jnp.asarray inside the epoch loop re-uploaded them every
     # step (megabyte-scale blocking puts per epoch on remote devices)
-    train_dev = [(b, jnp.asarray(b.data), jnp.asarray(b.corrupt_pool))
-                 for b in train_batches] if train_groups is None else None
+    train_dev_rounds = [None if use_scan else
+                        [(b, jnp.asarray(b.data), jnp.asarray(b.corrupt_pool))
+                         for b in bs]
+                        for bs in train_rounds]
+    train_dev = train_dev_rounds[0]
 
     logger.info("Training for %d epoch (%d batch(es)%s)", nepoch,
                 len(train_batches),
@@ -640,6 +696,11 @@ def run(artifact: Artifact, config: Dict, tsv_writer, featureless: bool,
                     jnp.asarray, early_stop.best_state)
             break
         final_epoch = ep
+        if rounds > 1:
+            ri = (ep - 1) % rounds
+            train_batches = train_rounds[ri]
+            train_groups = train_group_rounds[ri]
+            train_dev = train_dev_rounds[ri]
 
         losses = []
         if train_groups is not None:

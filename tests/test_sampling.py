@@ -20,7 +20,7 @@ from mrgcn_tpu.data import batching
 from mrgcn_tpu.data.tsv import TSV
 from mrgcn_tpu.encodings.structure import GraphStructure
 from mrgcn_tpu.mkdataset import build
-from mrgcn_tpu.tasks import node_classification
+from mrgcn_tpu.tasks import link_prediction, node_classification
 
 from tests import synth
 
@@ -202,3 +202,103 @@ def test_nc_driver_huge_fanout_bit_equal(nc_artifact):
     capped = _run_nc(art, config, batchsize=8, neighbor_fanout=100000)
     assert base[2] == capped[2] and base[3] == capped[3]
     np.testing.assert_array_equal(base[4], capped[4])
+
+
+# ---------------------------------------------------------------------------
+# link prediction: neighbor_fanout on node-sliced (gcn_batchsize) training
+# batches; valid/test batches and ranking always expand fully
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def lp_setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("lp_sampling")
+    paths = synth.make_lp_dataset(str(d))
+    config = apply_defaults(synth.lp_config(paths, epochs=6))
+    A, F, Y, data, sample_map, class_map = build(config)
+    path = str(d / "ds.npz")
+    artifact_io.save(path, A, F, Y=Y, data=data, sample_map=sample_map,
+                     class_map=class_map)
+    return artifact_io.load(path), config
+
+
+def _real_edges(batch) -> int:
+    return sum(int((np.asarray(eb.norm) != 0).sum()) for eb in batch.edges)
+
+
+def test_lp_fanout_bounds_train_batches(lp_setup):
+    """Same facts, pools and candidate counts — only the subgraph edge
+    arrays shrink under the cap."""
+    art, config = lp_setup
+    from mrgcn_tpu.tasks.common import prepare_inputs
+    inputs = prepare_inputs(art, config, featureless=True)
+    data = np.asarray(art.data["train"])
+    kw = dict(gcn_batchsize=10, test_batchsize=25, num_layers=2)
+    full = link_prediction.make_lp_batches(inputs, data, **kw)
+    capped = link_prediction.make_lp_batches(
+        inputs, data, fanout=[2, 2], rng=np.random.default_rng(0), **kw)
+    assert len(full) == len(capped) > 1
+    for f, c in zip(full, capped):
+        np.testing.assert_array_equal(np.asarray(f.data), np.asarray(c.data))
+        np.testing.assert_array_equal(np.asarray(f.corrupt_pool),
+                                      np.asarray(c.corrupt_pool))
+        assert f.num_valid == c.num_valid
+        assert _real_edges(c) <= _real_edges(f)
+    assert (sum(_real_edges(c) for c in capped)
+            < sum(_real_edges(f) for f in full))
+
+
+def test_lp_driver_fanout_smoke(lp_setup):
+    """Sampled LP training end-to-end: node-sliced batches, mixed per-hop
+    cap, two resample rounds; ranking stays sane."""
+    art, config = lp_setup
+    config = copy.deepcopy(config)
+    config["task"].update({"gcn_batchsize": 16, "test_batchsize": 30,
+                           "neighbor_fanout": 3,
+                           "neighbor_fanout_rounds": 2})
+    config["model"]["epoch"] = 6
+    tsv = TSV("/dev/null", "w", dry_run=True)
+    _, _, loss, mrr, hits, ranks = link_prediction.run(
+        art, config, tsv, featureless=True, test_split="test",
+        checkpoint=None, seed=3)
+    assert np.isfinite(loss)
+    assert 0.0 < mrr["raw"] <= 1.0
+    assert all(r >= 1 for r in ranks["raw"])
+
+
+def test_lp_fanout_full_graph_warns(lp_setup, caplog):
+    """Full-graph LP mode ignores the cap loudly (ranking exactness)."""
+    art, config = lp_setup
+    config = copy.deepcopy(config)
+    config["task"].update({"neighbor_fanout": 4})
+    config["model"]["epoch"] = 1
+    tsv = TSV("/dev/null", "w", dry_run=True)
+    import logging as _logging
+    with caplog.at_level(_logging.WARNING,
+                         logger="mrgcn_tpu.tasks.link_prediction"):
+        link_prediction.run(art, config, tsv, featureless=True,
+                            test_split="test", checkpoint=None, seed=3)
+    assert any("neighbor_fanout is ignored" in r.message
+               for r in caplog.records)
+
+
+@pytest.mark.slow      # two full driver runs; quick tier keeps the smoke
+def test_lp_driver_huge_fanout_bit_equal(lp_setup):
+    """A cap that never binds reproduces the unsampled mini-batch run
+    exactly (no rng consumed by the no-drop fast path)."""
+    art, config = lp_setup
+
+    def _run(**overrides):
+        cfg = copy.deepcopy(config)
+        cfg["task"].update({"gcn_batchsize": 16, "test_batchsize": 30,
+                            **overrides})
+        cfg["model"]["epoch"] = 4
+        tsv = TSV("/dev/null", "w", dry_run=True)
+        return link_prediction.run(art, cfg, tsv, featureless=True,
+                                   test_split="test", checkpoint=None,
+                                   seed=3)
+
+    base = _run()
+    capped = _run(neighbor_fanout=100000)
+    assert base[2] == capped[2]
+    assert base[3] == capped[3]
+    np.testing.assert_array_equal(base[5]["raw"], capped[5]["raw"])

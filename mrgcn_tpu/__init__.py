@@ -20,4 +20,28 @@ Design stance (TPU-first, not a port):
     a single static-shape program.
 """
 
-__version__ = "0.1.0"
+def _version() -> str:
+    """Single source of truth for the version: installed metadata first,
+    then the in-repo pyproject (the package runs uninstalled from the
+    repo root). Mirrors the reference's read_version
+    (reference: mrgcn/run.py:160-175)."""
+    try:
+        from importlib.metadata import PackageNotFoundError, version
+        try:
+            return version("mrgcn_tpu")
+        except PackageNotFoundError:
+            pass
+    except Exception:
+        pass
+    import pathlib
+    import tomllib
+    pyproject = pathlib.Path(__file__).resolve().parent.parent \
+        / "pyproject.toml"
+    try:
+        with open(pyproject, "rb") as f:
+            return tomllib.load(f)["project"]["version"]
+    except OSError:
+        return "0+unknown"
+
+
+__version__ = _version()

@@ -9,12 +9,13 @@ are random (capacity/throughput measurement, not accuracy; loss sits at
 chance).
 
 Timing method: each arm warms its jit caches with one discarded
-EPOCHS_LO run, then times the driver at EPOCHS_LO and at EPOCHS epochs;
-the steady per-epoch cost is the slope
-``(wall_hi - wall_lo) / (EPOCHS - EPOCHS_LO)``. Compiles land in the
-warmup; batch build and any residual fixed cost appear in both timed
-runs and cancel in the difference — the slope is compile-free epoch
-time, which is what a long training run pays.
+EPOCHS_LO run, then times the driver at EPOCHS_LO and at EPOCHS epochs
+and reports the slope ``(t_hi - t_lo) / (EPOCHS - EPOCHS_LO)`` of the
+driver's own "Training time" (the epoch loop alone, captured off the
+task logger). Compiles land in the warmup; batch build, device
+transfers and the exact final test eval sit OUTSIDE the captured span —
+whole-process wall subtraction proved too noisy at scale (tens of
+seconds of axon-transfer/test-eval jitter vs a seconds-scale signal).
 
 Run: python benchmarks/sampled_nc_scale.py          (TPU)
      MRGCN_PLATFORM=cpu NODES=20000 python ...      (CPU smoke)
@@ -28,6 +29,7 @@ they grow with the graph).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import sys
 import time
@@ -125,25 +127,51 @@ def batch_shapes(art, fanout):
             "build_s": round(time.perf_counter() - t0, 2)}
 
 
+class _TrainTimeCapture(logging.Handler):
+    """Grabs the NC driver's ``Training time: X.XXs`` log line — the
+    epoch loop alone, excluding batch build / transfers / test eval."""
+
+    def __init__(self):
+        super().__init__()
+        self.seconds = None
+
+    def emit(self, record):
+        msg = record.getMessage()
+        if msg.startswith("Training time:"):
+            self.seconds = float(msg.split(":")[1].strip().rstrip("s"))
+
+
 def run_once(fanout, art, epochs):
+    nc_logger = logging.getLogger("mrgcn_tpu.tasks.node_classification")
+    prev_level = nc_logger.level
+    cap = _TrainTimeCapture()
+    nc_logger.addHandler(cap)
+    nc_logger.setLevel(logging.INFO)
     t0 = time.perf_counter()
-    tsv = TSV("/dev/null", "w", dry_run=True)
-    out = node_classification.run(art, config(fanout, epochs), tsv,
-                                  featureless=True, test_split="test",
-                                  checkpoint=None, seed=1)
-    return time.perf_counter() - t0, float(out[2])
+    try:
+        tsv = TSV("/dev/null", "w", dry_run=True)
+        out = node_classification.run(art, config(fanout, epochs), tsv,
+                                      featureless=True, test_split="test",
+                                      checkpoint=None, seed=1)
+    finally:
+        nc_logger.removeHandler(cap)
+        nc_logger.setLevel(prev_level)
+    wall = time.perf_counter() - t0
+    assert cap.seconds is not None, "driver did not log Training time"
+    return cap.seconds, wall, float(out[2])
 
 
 def arm(tag, fanout, art, num_nodes):
     shapes = batch_shapes(art, fanout)
     run_once(fanout, art, EPOCHS_LO)       # warmup: compiles land here
-    wall_lo, _ = run_once(fanout, art, EPOCHS_LO)
-    wall_hi, loss = run_once(fanout, art, EPOCHS)
-    slope = (wall_hi - wall_lo) / max(1, EPOCHS - EPOCHS_LO)
+    t_lo, wall_lo, _ = run_once(fanout, art, EPOCHS_LO)
+    t_hi, wall_hi, loss = run_once(fanout, art, EPOCHS)
+    slope = (t_hi - t_lo) / max(1, EPOCHS - EPOCHS_LO)
     print(json.dumps({"arm": tag, "fanout": fanout, "nodes": num_nodes,
                       "epochs": [EPOCHS_LO, EPOCHS],
+                      "train_s": [round(t_lo, 3), round(t_hi, 3)],
                       "wall_s": [round(wall_lo, 2), round(wall_hi, 2)],
-                      "per_epoch_s": round(slope, 3),
+                      "per_epoch_s": round(slope, 4),
                       "loss": round(loss, 4), **shapes}), flush=True)
 
 
